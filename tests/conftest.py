@@ -1,0 +1,26 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Mirrors the standard JAX fake-backend pattern so mesh/sharding tests run
+without a real TPU slice (the reference has no distributed tests at all;
+SURVEY.md section 4 calls this out as the gap to fill).
+
+The environment's sitecustomize registers a remote-TPU PJRT plugin and
+force-prepends it to ``jax_platforms`` regardless of the JAX_PLATFORMS env
+var, so we must override the config *after* importing jax.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()

@@ -1,0 +1,204 @@
+"""Tests for the layer dispatch, likelihoods, and network ELBO.
+
+Mirrors reference test/likelihoods.py (scalar-formula oracle) and
+test/networks.py (shape contract over output dims, interop with
+deterministic layers), adapted to the sample-axis-first convention.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from whvi_tpu.models import (
+    CategoricalLikelihood,
+    ColumnMatrix,
+    Dense,
+    GaussianLikelihood,
+    HeteroscedasticGaussianLikelihood,
+    SquarePow2Matrix,
+    StackedMatrix,
+    WHVILinear,
+    WHVINetwork,
+    WHVIRegression,
+    cosine,
+    mlp_layers,
+    relu,
+)
+
+
+def test_whvi_linear_dispatch():
+    # reference layers.py:31-38 dispatch semantics
+    assert isinstance(WHVILinear(1, 7).matrix, ColumnMatrix)
+    assert not WHVILinear(1, 7).matrix.transposed
+    assert isinstance(WHVILinear(7, 1).matrix, ColumnMatrix)
+    assert WHVILinear(7, 1).matrix.transposed
+    assert isinstance(WHVILinear(16, 16).matrix, SquarePow2Matrix)
+    assert isinstance(WHVILinear(12, 16).matrix, StackedMatrix)
+    assert isinstance(WHVILinear(12, 12).matrix, StackedMatrix)  # not pow2
+
+
+@pytest.mark.parametrize("n_in,n_out", [(1, 5), (5, 1), (8, 8), (5, 9)])
+def test_whvi_linear_shapes_and_bias(n_in, n_out):
+    layer = WHVILinear(n_in, n_out, bias=True)
+    p = layer.init(jax.random.PRNGKey(0))
+    assert "bias" in p
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, n_in))
+    y = layer.apply(p, x, jax.random.PRNGKey(2))
+    assert y.shape == (4, n_out)
+    assert float(layer.kl(p)) > 0.0
+
+
+def test_gaussian_mnll_scalar_oracle():
+    # Triple-nested scalar-formula oracle, the reference's
+    # test/likelihoods.py:8-56 pattern.
+    import math
+
+    lik = GaussianLikelihood(sigma0=0.7)
+    p = lik.init()
+    S, B, O = 3, 4, 2
+    key = jax.random.PRNGKey(3)
+    y = jax.random.normal(key, (B, O))
+    y_hat = jax.random.normal(jax.random.PRNGKey(4), (S, B, O))
+    n = 57
+    got = float(lik.mnll(p, y, y_hat, n))
+    sigma = float(jax.nn.softplus(p["rho"]))
+    total = 0.0
+    for s in range(S):
+        for b in range(B):
+            for o in range(O):
+                z = (float(y[b, o]) - float(y_hat[s, b, o])) / sigma
+                total += -0.5 * z * z - 0.5 * math.log(2 * math.pi) - math.log(sigma)
+    expect = -n / (S * B) * total
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_gaussian_sigma_positive():
+    # softplus constraint (fixes reference likelihoods.py:16 raw param)
+    lik = GaussianLikelihood(sigma0=1.0)
+    p = {"rho": jnp.asarray(-20.0)}
+    assert float(lik.sigma(p)) > 0.0
+    p0 = lik.init()
+    np.testing.assert_allclose(float(lik.sigma(p0)), 1.0, rtol=1e-5)
+
+
+def test_heteroscedastic_mnll_matches_manual():
+    lik = HeteroscedasticGaussianLikelihood(sigma_min=0.0)
+    S, B, O = 2, 3, 1
+    y = jax.random.normal(jax.random.PRNGKey(5), (B, O))
+    y_hat = jax.random.normal(jax.random.PRNGKey(6), (S, B, 2 * O))
+    n = 10
+    got = float(lik.mnll({}, y, y_hat, n))
+    mean = np.asarray(y_hat)[..., :O]
+    sigma = np.log1p(np.exp(np.asarray(y_hat)[..., O:]))
+    z = (np.asarray(y)[None] - mean) / sigma
+    lp = -0.5 * z**2 - 0.5 * np.log(2 * np.pi) - np.log(sigma)
+    expect = -n / (S * B) * lp.sum()
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_categorical_mnll_matches_manual():
+    lik = CategoricalLikelihood()
+    S, B, C = 2, 5, 3
+    y = jnp.array([0, 2, 1, 1, 0])
+    logits = jax.random.normal(jax.random.PRNGKey(7), (S, B, C))
+    n = 20
+    got = float(lik.mnll({}, y, logits, n))
+    lp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    total = sum(lp[s, b, int(y[b])] for s in range(S) for b in range(B))
+    np.testing.assert_allclose(got, -n / (S * B) * total, rtol=1e-4)
+
+
+@pytest.mark.parametrize("k", [1, 3])
+def test_network_shape_contract(k):
+    # reference test/networks.py:11-23: output (B, k, S); ours is (S, B, k).
+    # Also mixes a deterministic Dense with WHVI layers for interop.
+    net = WHVIRegression(
+        [
+            Dense(3, 8),
+            relu,
+            WHVILinear(8, 8),
+            relu,
+            WHVILinear(8, k),
+        ],
+        train_samples=2,
+        eval_samples=5,
+    )
+    params = net.init(jax.random.PRNGKey(8))
+    x = jax.random.normal(jax.random.PRNGKey(9), (50, 3))
+    y_train = net.predict(params, x, jax.random.PRNGKey(10), net.train_samples)
+    assert y_train.shape == (2, 50, k)
+    y_eval = net.predict(params, x, jax.random.PRNGKey(11), net.eval_samples)
+    assert y_eval.shape == (5, 50, k)
+
+
+def test_network_kl_sums_only_bayesian_layers():
+    net = WHVIRegression([Dense(3, 8), relu, WHVILinear(8, 4)])
+    params = net.init(jax.random.PRNGKey(12))
+    kl_total = float(net.kl(params))
+    layer = net.layers[2]
+    kl_whvi = float(layer.kl(params["layers"][2]))
+    np.testing.assert_allclose(kl_total, kl_whvi, rtol=1e-6)
+
+
+def test_loss_ignore_kl():
+    net = WHVIRegression([WHVILinear(4, 4)], train_samples=2)
+    params = net.init(jax.random.PRNGKey(13))
+    x = jax.random.normal(jax.random.PRNGKey(14), (6, 4))
+    y = jax.random.normal(jax.random.PRNGKey(15), (6, 4))
+    key = jax.random.PRNGKey(16)
+    loss_full, aux = net.loss(params, key, x, y, n=6)
+    loss_nokl, aux2 = net.loss(params, key, x, y, n=6, ignore_kl=True)
+    np.testing.assert_allclose(
+        float(loss_full), float(aux["mnll"]) + float(aux["kl"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(loss_nokl), float(aux2["mnll"]), rtol=1e-5)
+    assert float(aux["kl"]) > 0
+
+
+def test_network_is_jittable_and_deterministic():
+    net = WHVIRegression([WHVILinear(3, 8), cosine, WHVILinear(8, 1)])
+    params = net.init(jax.random.PRNGKey(17))
+    x = jax.random.normal(jax.random.PRNGKey(18), (10, 3))
+    y = jax.random.normal(jax.random.PRNGKey(19), (10, 1))
+
+    @jax.jit
+    def loss_fn(p, k):
+        return net.loss(p, k, x, y, n=10)[0]
+
+    k = jax.random.PRNGKey(20)
+    l1 = float(loss_fn(params, k))
+    l2 = float(loss_fn(params, k))
+    assert l1 == l2
+    assert np.isfinite(l1)
+
+
+def test_mlp_layers_builder():
+    layers = mlp_layers(13, 1, hidden=(128, 128))
+    # WHVI(13->128), relu, WHVI(128->128), relu, WHVI(128->1)
+    assert len(layers) == 5
+    assert layers[0].lambda_ == 3.0
+    assert layers[2].lambda_ == 3.0
+    assert layers[4].lambda_ == 1e-5
+    assert isinstance(layers[2].matrix, SquarePow2Matrix)
+
+
+def test_toy_param_count():
+    # The paper's toy model [WHVILinear(1,128), act, WHVILinear(128,128),
+    # act, WHVILinear(128,1)] has 1537 parameters in the reference
+    # (report/model-testing.tex:60; paper says 1541).
+    from whvi_tpu.models import WHVILinear, cosine
+
+    net = WHVIRegression(
+        [WHVILinear(1, 128), cosine, WHVILinear(128, 128), cosine, WHVILinear(128, 1)]
+    )
+    params = net.init(jax.random.PRNGKey(21))
+    leaves = jax.tree.leaves(params["layers"])
+    count = sum(int(np.prod(l.shape)) for l in leaves)
+    # column(128): 4*128; square(128): 4*128; column_T(128): 4*128 = 1536
+    assert count == 1536
+    # +1 likelihood sigma parameter = 1537, matching the reference count
+    count_all = sum(
+        int(np.prod(l.shape)) for l in jax.tree.leaves(params)
+    )
+    assert count_all == 1537

@@ -1,0 +1,41 @@
+from whvi_tpu.models.layers import (
+    Activation,
+    Dense,
+    WHVILinear,
+    cosine,
+    relu,
+    sigmoid,
+    tanh,
+)
+from whvi_tpu.models.likelihoods import (
+    CategoricalLikelihood,
+    GaussianLikelihood,
+    HeteroscedasticGaussianLikelihood,
+)
+from whvi_tpu.models.networks import WHVINetwork, WHVIRegression, mlp_layers
+from whvi_tpu.models.weights import (
+    ColumnMatrix,
+    SquarePow2Matrix,
+    StackedMatrix,
+    setup_dimensions,
+)
+
+__all__ = [
+    "Activation",
+    "CategoricalLikelihood",
+    "ColumnMatrix",
+    "Dense",
+    "GaussianLikelihood",
+    "HeteroscedasticGaussianLikelihood",
+    "SquarePow2Matrix",
+    "StackedMatrix",
+    "WHVILinear",
+    "WHVINetwork",
+    "WHVIRegression",
+    "cosine",
+    "mlp_layers",
+    "relu",
+    "setup_dimensions",
+    "sigmoid",
+    "tanh",
+]

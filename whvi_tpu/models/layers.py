@@ -1,0 +1,140 @@
+"""Layer API: shape-dispatched WHVI linear layers + deterministic layers.
+
+Counterpart of reference ``src/layers.py`` (WHVI base + WHVILinear) with
+the same dispatch semantics (layers.py:31-38):
+
+  n_in == 1            -> ColumnMatrix(n_out)
+  n_out == 1           -> ColumnMatrix(n_in, transposed=True)
+  square power of two  -> SquarePow2Matrix(n_in)
+  otherwise            -> StackedMatrix(n_in, n_out)
+
+Layers are stateless description objects with ``init(key) -> params``,
+``apply(params, x, key) -> y`` and ``kl(params) -> scalar``. Deterministic
+layers (activations, Dense) take and ignore a key and have ``kl = 0`` —
+the analogue of the reference's duck-typed ``kl`` attribute scan
+(src/networks.py:32-34), made explicit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from whvi_tpu.models.weights import (
+    ColumnMatrix,
+    SquarePow2Matrix,
+    StackedMatrix,
+)
+from whvi_tpu.ops.hadamard import is_pow_of_2
+
+__all__ = ["WHVILinear", "Dense", "Activation", "relu", "cosine", "sigmoid", "tanh"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WHVILinear:
+    """Bayesian linear layer with a WHVI-structured variational posterior.
+
+    ``WHVILinear(n_in, n_out, lambda_, bias)`` — reference
+    src/layers.py:19-48. ``lambda_`` is the prior variance of ``g``
+    (default 1e-5 like the reference; the UCI protocol uses 3 for hidden
+    layers, evaluation.py:79-85). ``lrt`` selects the local
+    reparameterization trick where supported (square/stacked paths).
+    """
+
+    n_in: int
+    n_out: int
+    lambda_: float = 1e-5
+    bias: bool = False
+    lrt: bool = True
+
+    @property
+    def matrix(self):
+        if self.n_in == 1:
+            return ColumnMatrix(self.n_out, self.lambda_)
+        if self.n_out == 1:
+            return ColumnMatrix(self.n_in, self.lambda_, transposed=True)
+        if self.n_in == self.n_out and is_pow_of_2(self.n_in):
+            return SquarePow2Matrix(self.n_in, self.lambda_)
+        return StackedMatrix(self.n_in, self.n_out, self.lambda_)
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        params = self.matrix.init(key, dtype)
+        if self.bias:
+            params = dict(params, bias=jnp.zeros((self.n_out,), dtype))
+        return params
+
+    def kl(self, params: dict) -> jax.Array:
+        return self.matrix.kl(params)
+
+    def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
+        y = self.matrix.apply(params, x, key, lrt=self.lrt)
+        if self.bias:
+            y = y + params["bias"]
+        return y
+
+    def sample_W(self, params: dict, key: jax.Array) -> jax.Array:
+        """Dense ``(n_out, n_in)`` weight sample (oracle / inspection)."""
+        return self.matrix.sample_W(params, key)
+
+
+@dataclasses.dataclass(frozen=True)
+class Dense:
+    """Deterministic dense layer (interop; the reference mixes
+    ``nn.Linear`` with WHVI layers in test/networks.py:11-23)."""
+
+    n_in: int
+    n_out: int
+    bias: bool = True
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        k1, _ = jax.random.split(key)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(self.n_in, dtype))
+        params = {
+            "w": jax.random.uniform(
+                k1, (self.n_in, self.n_out), dtype, minval=-scale, maxval=scale
+            )
+        }
+        if self.bias:
+            params["b"] = jnp.zeros((self.n_out,), dtype)
+        return params
+
+    def kl(self, params: dict) -> jax.Array:
+        return jnp.zeros((), params["w"].dtype)
+
+    def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
+        del key
+        y = x @ params["w"]
+        if self.bias:
+            y = y + params["b"]
+        return y
+
+
+@dataclasses.dataclass(frozen=True)
+class Activation:
+    """Stateless elementwise activation as a layer."""
+
+    fn: Callable[[jax.Array], jax.Array]
+    name: str = "activation"
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        del key, dtype
+        return {}
+
+    def kl(self, params: dict) -> jax.Array:
+        del params
+        return jnp.zeros(())
+
+    def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
+        del params, key
+        return self.fn(x)
+
+
+relu = Activation(jax.nn.relu, "relu")
+# The paper's toy example uses a cosine activation
+# (reference src/activations.py:5-13).
+cosine = Activation(jnp.cos, "cosine")
+sigmoid = Activation(jax.nn.sigmoid, "sigmoid")
+tanh = Activation(jnp.tanh, "tanh")

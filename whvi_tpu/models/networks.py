@@ -1,0 +1,169 @@
+"""Networks: sequential WHVI models with vmapped MC-ELBO estimation.
+
+Counterpart of reference ``WHVINetwork`` / ``WHVIRegression``
+(src/networks.py:12-133), functional:
+
+- ``init(key) -> params`` builds the parameter pytree
+  ``{"layers": (p0, p1, ...), "likelihood": {...}}``;
+- one forward pass is one MC sample; ``predict`` draws ``S`` samples via
+  ``jax.vmap`` over split PRNG keys — replacing the reference's Python
+  loop over samples (networks.py:47-51), which is the first thing that
+  must die on TPU (each loop iteration would be a separate compiled
+  region; vmap batches them onto the MXU);
+- ``loss`` is the negative ELBO: total-dataset MNLL estimate + summed KL
+  (reference networks.py:56-69), with ``ignore_kl`` matching the
+  reference's ablation switch.
+
+The training loop lives in ``whvi_tpu.train`` (the reference fuses it into
+the network class; here it is a jitted pure function over (params,
+opt_state)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["WHVINetwork", "WHVIRegression", "mlp_layers"]
+
+
+@dataclasses.dataclass(frozen=True)
+class WHVINetwork:
+    """A sequential model over WHVI / deterministic layers + a likelihood.
+
+    ``train_samples`` / ``eval_samples`` are the default MC sample counts
+    (reference defaults 1 / 64, networks.py:12-27).
+    """
+
+    layers: Sequence[Any]
+    likelihood: Any
+    train_samples: int = 1
+    eval_samples: int = 64
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        keys = jax.random.split(key, len(self.layers))
+        return {
+            "layers": tuple(
+                layer.init(k, dtype) for layer, k in zip(self.layers, keys)
+            ),
+            "likelihood": self.likelihood.init(dtype),
+        }
+
+    def kl(self, params: dict) -> jax.Array:
+        """Sum of per-layer KL terms (reference networks.py:32-34)."""
+        return sum(
+            layer.kl(p) for layer, p in zip(self.layers, params["layers"])
+        )
+
+    def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
+        """One stochastic forward pass (one MC sample).
+
+        Each layer gets its own fold of the key — one independent epsilon
+        per (layer, call), same granularity as the reference (one eps per
+        forward per block, weights.py:92) but with explicit, reproducible
+        keys.
+        """
+        keys = jax.random.split(key, len(self.layers))
+        for layer, p, k in zip(self.layers, params["layers"], keys):
+            x = layer.apply(p, x, k)
+        return x
+
+    def predict(
+        self, params: dict, x: jax.Array, key: jax.Array, n_samples: int
+    ) -> jax.Array:
+        """``(S, B, n_out)`` stacked MC predictions via vmap over keys."""
+        keys = jax.random.split(key, n_samples)
+        return jax.vmap(lambda k: self.apply(params, x, k))(keys)
+
+    def loss(
+        self,
+        params: dict,
+        key: jax.Array,
+        x: jax.Array,
+        y: jax.Array,
+        n: jax.Array | int,
+        n_samples: int | None = None,
+        ignore_kl: bool = False,
+    ) -> tuple[jax.Array, dict]:
+        """Negative ELBO = MNLL + KL (reference networks.py:56-69).
+
+        Returns ``(loss, aux)`` with ``aux = {"mnll": ..., "kl": ...}``
+        (the reference caches these as ``current_mnll``/``current_kl`` for
+        its progress bar, networks.py:29-30).
+        """
+        S = self.train_samples if n_samples is None else n_samples
+        y_hat = self.predict(params, x, key, S)
+        mnll = self.likelihood.mnll(params["likelihood"], y, y_hat, n)
+        kl = self.kl(params)
+        loss = mnll if ignore_kl else mnll + kl
+        return loss, {"mnll": mnll, "kl": kl}
+
+    def eval_metrics(
+        self,
+        params: dict,
+        key: jax.Array,
+        x: jax.Array,
+        y: jax.Array,
+        n_samples: int | None = None,
+    ) -> dict:
+        """Test-set metrics: total MNLL (reference eval_model,
+        networks.py:101-115), per-point MNLL, and RMSE of the MC-mean
+        prediction (reference WHVIRegression.eval_model,
+        networks.py:130-133)."""
+        S = self.eval_samples if n_samples is None else n_samples
+        y_hat = self.predict(params, x, key, S)
+        n = x.shape[0]
+        mnll = self.likelihood.mnll(params["likelihood"], y, y_hat, n)
+        out = {"mnll": mnll, "mnll_per_point": mnll / n}
+        if y.ndim > 1 and y_hat.ndim == 3 and y_hat.shape[-1] == y.shape[-1]:
+            rmse = jnp.sqrt(
+                jnp.mean(jnp.square(jnp.mean(y_hat, axis=0) - y))
+            )
+            out["rmse"] = rmse
+        return out
+
+
+def mlp_layers(
+    n_in: int,
+    n_out: int,
+    hidden: Sequence[int] = (128, 128),
+    lambda_hidden: float = 3.0,
+    lambda_last: float = 1e-5,
+    activation=None,
+) -> list:
+    """The reference UCI architecture builder: WHVI MLP with ReLU hidden
+    activations, prior variance ``lambda_hidden`` on hidden layers and
+    ``lambda_last`` on the output layer (reference evaluation.py:79-85).
+    """
+    from whvi_tpu.models.layers import WHVILinear, relu
+
+    act = activation if activation is not None else relu
+    dims = [n_in, *hidden]
+    layers: list = []
+    for a, b in zip(dims[:-1], dims[1:]):
+        layers.append(WHVILinear(a, b, lambda_=lambda_hidden))
+        layers.append(act)
+    layers.append(WHVILinear(dims[-1], n_out, lambda_=lambda_last))
+    return layers
+
+
+def WHVIRegression(
+    layers: Sequence[Any],
+    sigma0: float = 1.0,
+    train_samples: int = 1,
+    eval_samples: int = 64,
+) -> WHVINetwork:
+    """Convenience constructor: network + Gaussian likelihood with initial
+    noise stddev ``sigma0`` (reference WHVIRegression, networks.py:118-133).
+    """
+    from whvi_tpu.models.likelihoods import GaussianLikelihood
+
+    return WHVINetwork(
+        layers=tuple(layers),
+        likelihood=GaussianLikelihood(sigma0),
+        train_samples=train_samples,
+        eval_samples=eval_samples,
+    )

@@ -1,0 +1,23 @@
+from whvi_tpu.ops.hadamard import (
+    build_H,
+    fwht,
+    fwht_butterfly,
+    fwht_kron,
+    is_pow_of_2,
+    kl_diag_normal,
+    next_pow_of_2,
+)
+from whvi_tpu.ops.whvi_op import whvi_dense, whvi_mul, whvi_mul_dense_oracle
+
+__all__ = [
+    "build_H",
+    "fwht",
+    "fwht_butterfly",
+    "fwht_kron",
+    "is_pow_of_2",
+    "kl_diag_normal",
+    "next_pow_of_2",
+    "whvi_dense",
+    "whvi_mul",
+    "whvi_mul_dense_oracle",
+]

@@ -1,0 +1,223 @@
+"""Walsh-Hadamard numerics core (pure jax.numpy, no dependencies).
+
+TPU-native counterpart of the reference's FWHT stack
+(`src/fwht/python/fwht.py`, `src/fwht/cpp/fwht.cpp`,
+`src/fwht/cuda/fwht_cuda_kernel.cu` and `src/utils.py` in ltdung/WHVI).
+
+Conventions
+-----------
+- ``H_D`` is the *unnormalized* Sylvester (natural-order) Walsh-Hadamard
+  matrix: entries are +-1, ``H = H^T`` and ``H @ H = D * I`` (reference
+  src/utils.py:74-101 builds it recursively; here we use the bit-trick
+  ``H[i, j] = (-1)^{popcount(i & j)}`` which produces the same matrix).
+- ``fwht(x)`` applies ``H_D`` along the **last** axis of ``x``:
+  ``fwht(x)[..., i] = sum_j H[i, j] * x[..., j]``. For vectors there is no
+  row/column ambiguity; at the matrix level the reference applied its
+  row-wise transform twice, which makes its sampled WHVI matrix collapse to
+  a diagonal matrix (verified by execution; see SURVEY.md section 0 bug 1).
+  Building on a vector transform avoids that class of bug by construction.
+
+Two interchangeable implementations are provided, both differentiable and
+exactly equal (up to float associativity):
+
+- :func:`fwht_butterfly` — ``log2 D`` vectorized sum/diff stages, the
+  direct analogue of the reference's vectorized Python butterfly
+  (src/fwht/python/fwht.py:41-55). Good on CPU; on TPU it emits a chain of
+  reshapes/concats that XLA handles but that never touch the MXU.
+- :func:`fwht_kron` — Kronecker factorization ``H_D = H_a (x) H_b (x) ...``
+  with every factor <= 128, evaluated as a short sequence of dense
+  matmuls. On TPU each factor contraction runs on the 128x128 MXU systolic
+  array, so the transform is HBM-bandwidth-bound rather than compute-bound.
+  This is the default on all backends (XLA fuses the surrounding
+  elementwise work into the matmuls).
+
+The self-adjointness ``H = H^T`` means the VJP of ``fwht`` is ``fwht``
+itself (the reference states this for its CUDA kernel in
+src/fwht/cuda/fwht.py:14-16); jax's autodiff of the matmul/butterfly
+formulation recovers this automatically, and the fused Pallas kernel's
+custom VJP (ops/fwht_pallas.py) exploits it explicitly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "is_pow_of_2",
+    "next_pow_of_2",
+    "build_H",
+    "fwht",
+    "fwht_butterfly",
+    "fwht_kron",
+    "kl_diag_normal",
+]
+
+
+def is_pow_of_2(n: int) -> bool:
+    """True iff ``n`` is a positive power of two.
+
+    Same bit trick as reference src/utils.py:26-33, in plain Python ints.
+    """
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def next_pow_of_2(n: int) -> int:
+    """Smallest power of two >= n (integer bit math, no float log).
+
+    Replaces the reference's ``2 ** math.ceil(math.log(D, 2))`` which needed
+    a float-precision guard (src/weights.py:150-155); ``bit_length`` is
+    exact.
+    """
+    if n < 1:
+        raise ValueError(f"next_pow_of_2 requires n >= 1, got {n}")
+    return 1 << (n - 1).bit_length()
+
+
+@functools.lru_cache(maxsize=None)
+def _H_np(D: int) -> np.ndarray:
+    """Host-side cache of the +-1 Hadamard matrix as float32 numpy."""
+    if not is_pow_of_2(D):
+        raise ValueError(f"Hadamard dimension must be a power of 2, got {D}")
+    i = np.arange(D, dtype=np.uint32)
+    anded = i[:, None] & i[None, :]
+    # parity of popcount via numpy: vectorized bit count
+    parity = np.zeros_like(anded)
+    v = anded.copy()
+    while v.any():
+        parity ^= v & 1
+        v >>= 1
+    return np.where(parity == 0, 1.0, -1.0).astype(np.float32)
+
+
+def build_H(D: int, dtype=jnp.float32) -> jax.Array:
+    """Dense unnormalized Sylvester Walsh-Hadamard matrix ``H_D``.
+
+    ``H[i, j] = (-1)^{popcount(i & j)}``; equals the recursive construction
+    of reference src/utils.py:74-101. Used as the test oracle and for
+    dense materialization of small WHVI matrices.
+    """
+    return jnp.asarray(_H_np(D), dtype=dtype)
+
+
+def fwht_butterfly(x: jax.Array) -> jax.Array:
+    """FWHT along the last axis via ``log2 D`` vectorized butterfly stages.
+
+    Stage ``h`` combines elements ``j`` and ``j + h`` inside every block of
+    ``2h`` — the textbook iterative FWHT, vectorized the way the reference's
+    Python backend is (src/fwht/python/fwht.py:41-55), but along the last
+    axis and with arbitrary leading batch dims.
+    """
+    D = x.shape[-1]
+    if not is_pow_of_2(D):
+        raise ValueError(f"FWHT length must be a power of 2, got {D}")
+    shape = x.shape
+    x = x.reshape(-1, D)
+    h = 1
+    while h < D:
+        x = x.reshape(-1, D // (2 * h), 2, h)
+        a = x[:, :, 0, :]
+        b = x[:, :, 1, :]
+        x = jnp.stack((a + b, a - b), axis=2)
+        h *= 2
+    return x.reshape(shape)
+
+
+def fwht_factors(D: int, max_factor: int = 128) -> tuple[int, ...]:
+    """Kronecker factorization of D into powers of two, each <= max_factor.
+
+    ``H_D = H_{f0} (x) H_{f1} (x) ...`` with the *first* factor indexing the
+    most-significant bits (Sylvester ordering: ``H_{2^n} = H_2 (x)
+    H_{2^{n-1}}``). D = prod(factors).
+    """
+    if not is_pow_of_2(D):
+        raise ValueError(f"FWHT length must be a power of 2, got {D}")
+    if not is_pow_of_2(max_factor):
+        raise ValueError("max_factor must be a power of 2")
+    factors = []
+    rem = D
+    while rem > 1:
+        f = min(rem, max_factor)
+        factors.append(f)
+        rem //= f
+    return tuple(factors) if factors else (1,)
+
+
+def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
+    """FWHT along the last axis via MXU-friendly Kronecker-factor matmuls.
+
+    Reshapes ``(..., D)`` to ``(..., f0, f1, ..., fk)`` and contracts each
+    axis with the corresponding dense ``H_{fi}`` (entries +-1, so bf16
+    inputs are exact; accumulation is forced to float32 via
+    ``preferred_element_type``). On TPU every contraction maps onto the
+    MXU; for ``D <= 128`` this is a single small matmul.
+
+    This replaces the reference's CUDA radix-4 shared-memory kernel
+    (src/fwht/cuda/fwht_cuda_kernel.cu:75-146), which is launch-limited to
+    ``D <= 4096``; the factorization here has no such wall (``D = 2^21``
+    works, bounded only by memory).
+    """
+    D = x.shape[-1]
+    factors = fwht_factors(D, max_factor)
+    if len(factors) == 1:
+        H = build_H(D, jnp.float32)
+        return jnp.matmul(x, H, preferred_element_type=jnp.float32).astype(
+            x.dtype
+        )
+    batch = x.shape[:-1]
+    x = x.reshape(batch + factors)
+    nb = len(batch)
+    for i, f in enumerate(factors):
+        H = build_H(f, jnp.float32)
+        axis = nb + i
+        # Contract axis `axis` with H; tensordot puts the contracted axis
+        # last, so move it back to keep the logical index layout.
+        x = jnp.moveaxis(
+            jax.lax.dot_general(
+                x,
+                H,
+                dimension_numbers=(((axis,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype),
+            -1,
+            axis,
+        )
+    return x.reshape(batch + (D,))
+
+
+def fwht(x: jax.Array) -> jax.Array:
+    """Default FWHT along the last axis (Kronecker/MXU formulation)."""
+    return fwht_kron(x)
+
+
+def kl_diag_normal(
+    mu_q: jax.Array,
+    sigma_q: jax.Array,
+    mu_p: jax.Array | float,
+    sigma_p: jax.Array | float,
+) -> jax.Array:
+    """KL(N(mu_q, diag(sigma_q^2)) || N(mu_p, diag(sigma_p^2))), summed.
+
+    Arguments are **standard deviations**, consistently with how the model
+    samples (``g = mu + sigma * eps``). The reference's ``kl_diag_normal``
+    (src/utils.py:49-71) implements the variance-parameterized formula but
+    is *called* with standard deviations (src/weights.py:52-64), an
+    inconsistency verified by execution (SURVEY.md section 0 bug 2). This
+    implementation is the paper-correct one:
+
+        KL = sum[ log(sigma_p / sigma_q)
+                  + (sigma_q^2 + (mu_q - mu_p)^2) / (2 sigma_p^2) - 1/2 ]
+    """
+    mu_p = jnp.asarray(mu_p, dtype=mu_q.dtype)
+    sigma_p = jnp.asarray(sigma_p, dtype=mu_q.dtype)
+    var_q = jnp.square(sigma_q)
+    var_p = jnp.square(sigma_p)
+    return jnp.sum(
+        jnp.log(sigma_p)
+        - jnp.log(sigma_q)
+        + (var_q + jnp.square(mu_q - mu_p)) / (2.0 * var_p)
+        - 0.5
+    )
