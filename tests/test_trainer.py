@@ -1,0 +1,199 @@
+"""Tests for the training engine: schedule, two-phase freeze, fit loop,
+checkpoint/resume. The reference's training loop is untested (SURVEY.md
+section 4 "what is not tested"); these close that gap.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from whvi_tpu.models import WHVILinear, WHVIRegression, relu
+from whvi_tpu.train import (
+    TrainConfig,
+    Trainer,
+    decay_schedule,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def _toy_data(n=64, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, 4).astype(np.float32)
+    w = rng.randn(4, 1).astype(np.float32)
+    y = X @ w + 0.1 * rng.randn(n, 1).astype(np.float32)
+    return X, y
+
+
+def _small_net():
+    return WHVIRegression(
+        [WHVILinear(4, 8, lambda_=1.0), relu, WHVILinear(8, 1)],
+        train_samples=1,
+        eval_samples=8,
+    )
+
+
+def test_decay_schedule_single_applied():
+    # lr(t) = lr0 * (1 + gamma t)^-p — documented schedule (README), not
+    # the reference code's accidental lr0^2 version (evaluation.py:25-27).
+    s = decay_schedule(lr0=1e-3, gamma=5e-4, p=0.3)
+    np.testing.assert_allclose(float(s(0)), 1e-3, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(s(1000)), 1e-3 * (1.5) ** (-0.3), rtol=1e-5
+    )
+
+
+def test_train_step_reduces_loss():
+    X, y = _toy_data()
+    net = _small_net()
+    trainer = Trainer(
+        net, TrainConfig(epochs1=0, epochs2=60, epochs_per_call=30)
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    loss0, _ = net.loss(state.params, key, jnp.asarray(X), jnp.asarray(y), n=len(X))
+    state, logs = trainer.fit(state, X, y)
+    loss1, _ = net.loss(state.params, key, jnp.asarray(X), jnp.asarray(y), n=len(X))
+    assert float(loss1) < float(loss0)
+    assert logs[-1]["epoch"] == 60
+
+
+def test_phase1_freezes_likelihood_sigma():
+    # The freeze must be real (reference bug 3: its phase 1 still updates
+    # sigma through Adam).
+    X, y = _toy_data()
+    net = _small_net()
+    trainer = Trainer(
+        net, TrainConfig(epochs1=20, epochs2=0, epochs_per_call=10)
+    )
+    state = trainer.init(jax.random.PRNGKey(2))
+    rho_before = float(state.params["likelihood"]["rho"])
+    state, _ = trainer.fit(state, X, y)
+    rho_after = float(state.params["likelihood"]["rho"])
+    assert rho_before == rho_after
+    # ...while other params did move
+    s1_moved = float(
+        jnp.abs(
+            state.params["layers"][0]["s1"]
+        ).max()
+    )
+    assert s1_moved > 0
+
+
+def test_phase2_trains_likelihood_sigma():
+    X, y = _toy_data()
+    net = _small_net()
+    trainer = Trainer(
+        net, TrainConfig(epochs1=0, epochs2=20, epochs_per_call=10)
+    )
+    state = trainer.init(jax.random.PRNGKey(3))
+    rho_before = float(state.params["likelihood"]["rho"])
+    state, _ = trainer.fit(state, X, y)
+    assert float(state.params["likelihood"]["rho"]) != rho_before
+
+
+def test_evaluate_metrics():
+    X, y = _toy_data()
+    net = _small_net()
+    trainer = Trainer(net, TrainConfig(epochs1=0, epochs2=10))
+    state = trainer.init(jax.random.PRNGKey(4))
+    state, _ = trainer.fit(state, X, y)
+    m = trainer.evaluate(state.params, X, y, jax.random.PRNGKey(5))
+    assert np.isfinite(m["rmse"])
+    assert np.isfinite(m["mnll"])
+    assert abs(m["mnll_per_point"] - m["mnll"] / len(X)) < 1e-3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    net = _small_net()
+    trainer = Trainer(net)
+    state = trainer.init(jax.random.PRNGKey(6))
+    path = str(tmp_path / "ckpt-10.npz")
+    save_checkpoint(path, state, {"epoch": 10})
+    template = trainer.init(jax.random.PRNGKey(7))
+    restored, meta = restore_checkpoint(path, template)
+    assert meta["epoch"] == 10
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert latest_checkpoint(str(tmp_path)) == path
+
+
+def test_fit_resume_from_checkpoint(tmp_path):
+    X, y = _toy_data()
+    net = _small_net()
+    cfg = TrainConfig(
+        epochs1=0, epochs2=20, epochs_per_call=5, checkpoint_every=10
+    )
+    ckpt_dir = str(tmp_path / "ck")
+    trainer = Trainer(net, cfg)
+    state = trainer.init(jax.random.PRNGKey(8))
+    state_full, _ = trainer.fit(state, X, y, ckpt_dir=ckpt_dir)
+    # the run checkpointed at 10 and 20; wipe the 20 and resume from 10
+    import os
+
+    os.remove(os.path.join(ckpt_dir, "ckpt-20.npz"))
+    trainer2 = Trainer(net, cfg)
+    state2 = trainer2.init(jax.random.PRNGKey(9))
+    state_resumed, logs = trainer2.fit(
+        state2, X, y, ckpt_dir=ckpt_dir, resume=True
+    )
+    # resumed from epoch 10: the first logged chunk continues past it
+    assert logs[0]["epoch"] > 10
+    assert int(state_resumed.step) == int(state_full.step)
+
+
+def test_uneven_batches_static_shapes():
+    # n=50 with batch 64 -> single wrapped batch; n=70 with batch 64 ->
+    # two batches (wrap-padded). Both must run under one jit.
+    net = _small_net()
+    for n in (50, 70):
+        X, y = _toy_data(n=n)
+        trainer = Trainer(
+            net, TrainConfig(epochs1=0, epochs2=4, epochs_per_call=2)
+        )
+        state = trainer.init(jax.random.PRNGKey(10))
+        state, logs = trainer.fit(state, X, y)
+        assert logs[-1]["epoch"] == 4
+
+
+def test_ignore_kl_config():
+    X, y = _toy_data()
+    net = _small_net()
+    trainer = Trainer(
+        net, TrainConfig(epochs1=0, epochs2=5, ignore_kl=True)
+    )
+    state = trainer.init(jax.random.PRNGKey(11))
+    state, logs = trainer.fit(state, X, y)
+    # with ignore_kl the loss equals the mnll
+    np.testing.assert_allclose(logs[-1]["loss"], logs[-1]["mnll"], rtol=1e-5)
+
+
+def test_kl_warmup_ramps():
+    # with kl_warmup_steps the effective KL weight starts at ~0: two
+    # trainers differing only in warmup produce different param updates
+    X, y = _toy_data()
+    net = _small_net()
+    t_warm = Trainer(
+        net, TrainConfig(epochs1=0, epochs2=4, kl_warmup_steps=1000)
+    )
+    t_nowarm = Trainer(net, TrainConfig(epochs1=0, epochs2=4))
+    s0 = t_warm.init(jax.random.PRNGKey(20))
+    s1 = t_nowarm.init(jax.random.PRNGKey(20))
+    s0, _ = t_warm.fit(s0, X, y)
+    s1, _ = t_nowarm.fit(s1, X, y)
+    d = max(
+        float(jnp.abs(a - b).max())
+        for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params))
+    )
+    assert d > 0
+
+
+def test_s_init_auto():
+    from whvi_tpu.models import SquarePow2Matrix
+
+    m = SquarePow2Matrix(64, s_init="auto")
+    p = m.init(jax.random.PRNGKey(21))
+    std = float(jnp.std(p["s1"]))
+    assert 0.7 * 64**-0.5 < std < 1.3 * 64**-0.5

@@ -49,16 +49,21 @@ class WHVILinear:
     lambda_: float = 1e-5
     bias: bool = False
     lrt: bool = True
+    # S1/S2 init stddev: 0.01 reproduces the reference (weights.py:29-30);
+    # "auto" = D**-0.5 variance-preserving (see weights.SquarePow2Matrix).
+    s_init: float | str = 0.01
 
     @property
     def matrix(self):
         if self.n_in == 1:
-            return ColumnMatrix(self.n_out, self.lambda_)
+            return ColumnMatrix(self.n_out, self.lambda_, s_init=self.s_init)
         if self.n_out == 1:
-            return ColumnMatrix(self.n_in, self.lambda_, transposed=True)
+            return ColumnMatrix(
+                self.n_in, self.lambda_, transposed=True, s_init=self.s_init
+            )
         if self.n_in == self.n_out and is_pow_of_2(self.n_in):
-            return SquarePow2Matrix(self.n_in, self.lambda_)
-        return StackedMatrix(self.n_in, self.n_out, self.lambda_)
+            return SquarePow2Matrix(self.n_in, self.lambda_, self.s_init)
+        return StackedMatrix(self.n_in, self.n_out, self.lambda_, self.s_init)
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         params = self.matrix.init(key, dtype)

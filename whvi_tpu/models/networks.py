@@ -87,8 +87,16 @@ class WHVINetwork:
         n: jax.Array | int,
         n_samples: int | None = None,
         ignore_kl: bool = False,
+        kl_scale: jax.Array | float = 1.0,
     ) -> tuple[jax.Array, dict]:
-        """Negative ELBO = MNLL + KL (reference networks.py:56-69).
+        """Negative ELBO = MNLL + kl_scale * KL (reference networks.py:56-69).
+
+        ``ignore_kl`` matches the reference's ablation switch;
+        ``kl_scale`` is a (traceable) annealing factor — ramping it from
+        0 to 1 early in training prevents the posterior-collapse local
+        optimum where KL hits 0 before the likelihood term has shaped the
+        mean function (observed with the reference's own init scale; see
+        train/trainer.py kl_warmup_steps).
 
         Returns ``(loss, aux)`` with ``aux = {"mnll": ..., "kl": ...}``
         (the reference caches these as ``current_mnll``/``current_kl`` for
@@ -98,7 +106,7 @@ class WHVINetwork:
         y_hat = self.predict(params, x, key, S)
         mnll = self.likelihood.mnll(params["likelihood"], y, y_hat, n)
         kl = self.kl(params)
-        loss = mnll if ignore_kl else mnll + kl
+        loss = mnll if ignore_kl else mnll + kl_scale * kl
         return loss, {"mnll": mnll, "kl": kl}
 
     def eval_metrics(

@@ -86,6 +86,12 @@ class SquarePow2Matrix:
 
     D: int
     lambda_: float = 1e-5
+    # stddev of the S1/S2 init: the reference uses 0.01 (weights.py:29-30),
+    # which makes the W scale ~1e-4 and starves the likelihood gradient
+    # (posterior collapse; see TrainConfig.kl_warmup_steps). "auto" uses
+    # D**-0.5, the variance-preserving choice for this parameterization
+    # (Var(W_ij) = s1^2 s2^2 D sigma_g^2 = sigma_g^2 / D at s = D^-1/2).
+    s_init: float | str = 0.01
 
     def __post_init__(self):
         if not is_pow_of_2(self.D):
@@ -102,9 +108,10 @@ class SquarePow2Matrix:
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         k1, k2, k3 = jax.random.split(key, 3)
         D = self.D
+        scale = D**-0.5 if self.s_init == "auto" else float(self.s_init)
         return {
-            "s1": 0.01 * jax.random.normal(k1, (D,), dtype),
-            "s2": 0.01 * jax.random.normal(k2, (D,), dtype),
+            "s1": scale * jax.random.normal(k1, (D,), dtype),
+            "s2": scale * jax.random.normal(k2, (D,), dtype),
             "g_mu": jnp.zeros((D,), dtype),
             "g_rho": jax.random.uniform(
                 k3, (D,), dtype, minval=-3.0, maxval=-2.0
@@ -167,6 +174,7 @@ class StackedMatrix:
     n_in: int
     n_out: int
     lambda_: float = 1e-5
+    s_init: float | str = 0.01
 
     @property
     def dims(self) -> tuple[int, int, int, int]:
@@ -174,7 +182,7 @@ class StackedMatrix:
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         D_in, _, _, stack = self.dims
-        block = SquarePow2Matrix(D_in, self.lambda_)
+        block = SquarePow2Matrix(D_in, self.lambda_, self.s_init)
         return jax.vmap(lambda k: block.init(k, dtype))(
             jax.random.split(key, stack)
         )
@@ -250,6 +258,7 @@ class ColumnMatrix:
     n: int
     lambda_: float = 1e-5
     transposed: bool = False
+    s_init: float | str = 0.01
 
     @property
     def D_adj(self) -> int:
@@ -265,7 +274,7 @@ class ColumnMatrix:
 
     @property
     def _block(self) -> SquarePow2Matrix:
-        return SquarePow2Matrix(self.D_adj, self.lambda_)
+        return SquarePow2Matrix(self.D_adj, self.lambda_, self.s_init)
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         return self._block.init(key, dtype)

@@ -1,0 +1,68 @@
+"""Optimizer & schedule for WHVI training.
+
+Reference: ``make_optimizer`` (src/evaluation.py:15-27) — Adam(lr=1e-3)
+with per-*batch* decay ``(1 + gamma * t)^(-p)``, gamma=5e-4, p=0.3.
+
+Two reference quirks fixed here, both SURVEY.md-documented:
+
+- the reference's ``LambdaLR(optimizer, lambda t: lambda0 * (1+gamma t)^-p)``
+  multiplies the base lr in *again* (effective lr ~ lambda0^2), while its
+  README and notebook document the single-applied schedule; we implement
+  the documented one (``lr(t) = lr0 * (1 + gamma t)^(-p)``);
+- phase 1 of the two-phase loop is supposed to freeze the likelihood's
+  noise parameter but the reference's ``requires_grad = False`` lands on
+  the module, not the tensor, so Adam keeps updating sigma (verified by
+  execution; SURVEY.md section 0 bug 3). Here freezing is done by zeroing
+  the likelihood gradient subtree under a traced phase flag, so both
+  phases share one compiled train step and the freeze is exact (Adam
+  moments for the frozen subtree stay identically zero, hence zero
+  updates).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["decay_schedule", "decayed_adam", "mask_likelihood_grads"]
+
+
+def decay_schedule(
+    lr0: float = 1e-3, gamma: float = 5e-4, p: float = 0.3
+) -> optax.Schedule:
+    """``lr(t) = lr0 * (1 + gamma * t)^(-p)`` with t the batch step."""
+
+    def schedule(t):
+        return lr0 * jnp.power(1.0 + gamma * t, -p)
+
+    return schedule
+
+
+def decayed_adam(
+    lr0: float = 1e-3,
+    gamma: float = 5e-4,
+    p: float = 0.3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """Adam with the reference's polynomial decay (single-applied)."""
+    return optax.chain(
+        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        optax.scale_by_learning_rate(decay_schedule(lr0, gamma, p)),
+    )
+
+
+def mask_likelihood_grads(grads: dict, train_likelihood: jax.Array) -> dict:
+    """Zero the likelihood gradient subtree when ``train_likelihood == 0``.
+
+    ``train_likelihood`` is a traced 0/1 scalar so phase 1 and phase 2
+    share one compiled step (SURVEY.md section 7 "two-phase training under
+    jit").
+    """
+    flag = jnp.asarray(train_likelihood)
+    return dict(
+        grads,
+        likelihood=jax.tree.map(lambda g: g * flag, grads["likelihood"]),
+    )

@@ -1,0 +1,292 @@
+"""Jit-compiled ELBO training engine.
+
+Counterpart of the reference's ``WHVINetwork.train_model`` loop
+(src/networks.py:71-99), redesigned for XLA:
+
+- one pure ``train_step`` (value_and_grad -> masked update -> apply),
+  compiled once and shared by both training phases via a traced 0/1
+  ``train_likelihood`` flag;
+- whole *epochs* run inside a single ``lax.scan`` over batches, and a
+  chunk of epochs runs inside an outer scan — one device dispatch per
+  chunk instead of the reference's per-batch Python dispatch (its 155
+  epochs/s toy throughput is dispatch-bound, SURVEY.md section 6);
+- two-phase protocol: ``epochs1`` with the likelihood frozen (actually
+  frozen — reference bug 3), then ``epochs2`` with everything trained,
+  checkpointing every ``checkpoint_every`` epochs of phase 2 (reference:
+  5000, networks.py:95-96) with real resume.
+
+Data handling matches the reference protocol (batch 64, full-dataset
+``n`` in the MNLL scaling, evaluation.py:35-47). Batches are formed by
+wrap-padding the index range to a multiple of ``batch_size`` so shapes
+stay static under jit; with ``shuffle=True`` (default) a fresh
+permutation per epoch is used (the reference's DataLoader does not
+shuffle; set ``shuffle=False`` for bit-faithful batch order).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from whvi_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from whvi_tpu.train.optim import decayed_adam, mask_likelihood_grads
+
+__all__ = ["TrainState", "TrainConfig", "Trainer"]
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    step: jax.Array  # global batch step (drives the lr schedule)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hyperparameters of the two-phase ELBO protocol.
+
+    Defaults follow the reference UCI protocol (evaluation.py:15-27,
+    79-95): Adam lr 1e-3 with (1+5e-4 t)^-0.3 per-batch decay, batch 64,
+    500 fixed-likelihood epochs then 50000 full epochs.
+    """
+
+    lr0: float = 1e-3
+    gamma: float = 5e-4
+    p: float = 0.3
+    batch_size: int = 64
+    epochs1: int = 500
+    epochs2: int = 50000
+    checkpoint_every: int = 5000
+    epochs_per_call: int = 250  # scan chunk size (device dispatch cadence)
+    shuffle: bool = True
+    ignore_kl: bool = False
+    # KL annealing: the KL term is scaled by min(1, step / kl_warmup_steps)
+    # (in batch steps; 0 disables). Prevents the posterior-collapse local
+    # optimum where the KL is optimized to ~0 before the likelihood term
+    # has shaped the mean function — observed on the toy problems with the
+    # reference's own 0.01-scale S1/S2 init.
+    kl_warmup_steps: int = 0
+
+
+class Trainer:
+    """Binds a network + config to jitted train/eval functions.
+
+    Usage::
+
+        trainer = Trainer(net, config)
+        state = trainer.init(jax.random.PRNGKey(0))
+        state, logs = trainer.fit(state, X, y, ckpt_dir=...)
+        metrics = trainer.evaluate(state.params, X_test, y_test, key)
+    """
+
+    def __init__(
+        self,
+        net,
+        config: TrainConfig = TrainConfig(),
+        tx: optax.GradientTransformation | None = None,
+    ):
+        self.net = net
+        self.config = config
+        self.tx = tx if tx is not None else decayed_adam(
+            config.lr0, config.gamma, config.p
+        )
+        self._run_epochs = self._build_epoch_runner()
+        self._eval = jax.jit(
+            lambda params, x, y, key: self.net.eval_metrics(params, key, x, y)
+        )
+
+    # ---------------------------------------------------------------- init
+    def init(self, key: jax.Array, dtype=jnp.float32) -> TrainState:
+        k_init, k_state = jax.random.split(key)
+        params = self.net.init(k_init, dtype)
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            key=k_state,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ----------------------------------------------------------- train step
+    def train_step(
+        self,
+        state: TrainState,
+        x: jax.Array,
+        y: jax.Array,
+        n: jax.Array | int,
+        train_likelihood: jax.Array | float,
+    ) -> tuple[TrainState, dict]:
+        """One ELBO step (reference per-batch body, networks.py:77-82)."""
+        key, sub = jax.random.split(state.key)
+        if self.config.kl_warmup_steps > 0:
+            kl_scale = jnp.minimum(
+                1.0,
+                state.step.astype(jnp.float32) / self.config.kl_warmup_steps,
+            )
+        else:
+            kl_scale = 1.0
+        (loss, aux), grads = jax.value_and_grad(self.net.loss, has_aux=True)(
+            state.params,
+            sub,
+            x,
+            y,
+            n,
+            ignore_kl=self.config.ignore_kl,
+            kl_scale=kl_scale,
+        )
+        grads = mask_likelihood_grads(grads, train_likelihood)
+        updates, opt_state = self.tx.update(
+            grads, state.opt_state, state.params
+        )
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "mnll": aux["mnll"], "kl": aux["kl"]}
+        return (
+            TrainState(params, opt_state, key, state.step + 1),
+            metrics,
+        )
+
+    # --------------------------------------------------------- epoch runner
+    def _build_epoch_runner(self):
+        cfg = self.config
+
+        @partial(
+            jax.jit,
+            static_argnames=("n_epochs", "n_train"),
+            donate_argnums=(0,),
+        )
+        def run_epochs(state, X, Y, train_likelihood, n_epochs, n_train):
+            B = min(cfg.batch_size, n_train)
+            num_batches = -(-n_train // B)
+            padded = num_batches * B
+
+            def epoch_body(state, _):
+                key, perm_key = jax.random.split(state.key)
+                state = state._replace(key=key)
+                if cfg.shuffle:
+                    idx = jax.random.permutation(perm_key, n_train)
+                else:
+                    idx = jnp.arange(n_train)
+                idx = jnp.resize(idx, (padded,))  # wrap-pad, static shape
+                xb = X[idx].reshape(num_batches, B, -1)
+                yb = Y[idx].reshape(num_batches, B, -1)
+
+                def batch_body(state, xy):
+                    x, y = xy
+                    return self.train_step(
+                        state, x, y, n_train, train_likelihood
+                    )
+
+                state, metrics = jax.lax.scan(batch_body, state, (xb, yb))
+                # keep the last batch's metrics (reference shows the
+                # latest cached mnll/kl on its progress bar)
+                return state, jax.tree.map(lambda a: a[-1], metrics)
+
+            state, metrics = jax.lax.scan(
+                epoch_body, state, None, length=n_epochs
+            )
+            return state, jax.tree.map(lambda a: a[-1], metrics)
+
+        return run_epochs
+
+    # ------------------------------------------------------------------ fit
+    def fit(
+        self,
+        state: TrainState,
+        X: jax.Array,
+        y: jax.Array,
+        ckpt_dir: str | None = None,
+        log_fn: Callable[[dict], None] | None = None,
+        resume: bool = True,
+    ) -> tuple[TrainState, list[dict]]:
+        """Run the full two-phase protocol.
+
+        If ``ckpt_dir`` is given, saves ``ckpt-{epoch}.npz`` every
+        ``checkpoint_every`` epochs of phase 2 and at the end; with
+        ``resume=True`` an existing latest checkpoint is restored first
+        and training continues from its epoch counter.
+        """
+        cfg = self.config
+        y = y if y.ndim > 1 else y[:, None]
+        n_train = int(X.shape[0])
+        start_epoch = 0
+        if ckpt_dir and resume:
+            path = latest_checkpoint(ckpt_dir)
+            if path is not None:
+                state, meta = restore_checkpoint(path, state)
+                start_epoch = int(meta.get("epoch", 0))
+        X = jnp.asarray(X)
+        y = jnp.asarray(y)
+
+        logs: list[dict] = []
+        total = cfg.epochs1 + cfg.epochs2
+        epoch = start_epoch
+        t0 = time.time()
+        while epoch < total:
+            in_phase1 = epoch < cfg.epochs1
+            phase_end = cfg.epochs1 if in_phase1 else total
+            chunk = min(cfg.epochs_per_call, phase_end - epoch)
+            if ckpt_dir and not in_phase1 and cfg.checkpoint_every > 0:
+                # stop the chunk at the next checkpoint boundary
+                next_ckpt = (
+                    cfg.epochs1
+                    + (
+                        (epoch - cfg.epochs1) // cfg.checkpoint_every + 1
+                    )
+                    * cfg.checkpoint_every
+                )
+                chunk = min(chunk, next_ckpt - epoch)
+            state, metrics = self._run_epochs(
+                state,
+                X,
+                y,
+                jnp.asarray(0.0 if in_phase1 else 1.0),
+                chunk,
+                n_train,
+            )
+            epoch += chunk
+            entry = {
+                "epoch": epoch,
+                "phase": 1 if in_phase1 else 2,
+                "loss": float(metrics["loss"]),
+                "mnll": float(metrics["mnll"]),
+                "kl": float(metrics["kl"]),
+                "epochs_per_s": epoch / max(time.time() - t0, 1e-9),
+            }
+            logs.append(entry)
+            if log_fn:
+                log_fn(entry)
+            if (
+                ckpt_dir
+                and not in_phase1
+                and (
+                    (epoch - cfg.epochs1) % cfg.checkpoint_every == 0
+                    or epoch == total
+                )
+            ):
+                os.makedirs(ckpt_dir, exist_ok=True)
+                save_checkpoint(
+                    os.path.join(ckpt_dir, f"ckpt-{epoch}.npz"),
+                    state,
+                    {"epoch": epoch},
+                )
+        return state, logs
+
+    # ------------------------------------------------------------ evaluate
+    def evaluate(
+        self, params: Any, X: jax.Array, y: jax.Array, key: jax.Array
+    ) -> dict:
+        """Test metrics: RMSE of MC-mean + MNLL (reference eval_model)."""
+        y = y if y.ndim > 1 else y[:, None]
+        out = self._eval(params, jnp.asarray(X), jnp.asarray(y), key)
+        return {k: float(v) for k, v in out.items()}

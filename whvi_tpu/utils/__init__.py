@@ -1,0 +1,3 @@
+from whvi_tpu.utils.metrics import JsonlLogger, Throughput
+
+__all__ = ["JsonlLogger", "Throughput"]
