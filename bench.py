@@ -1,0 +1,77 @@
+"""Headline benchmark: toy-protocol ELBO training throughput on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: epochs/s on the reference README toy protocol (200-point cubic
+regression, WHVI [3->16, ReLU, 16->1], batch 64, LRT path) — directly
+comparable to the reference's published toy training throughput of
+**155 epochs/s with LRT** on an i7-6700K + GTX 970
+(report/implementation-details.tex:22; BASELINE.md). ``vs_baseline`` is
+ours / 155.
+
+Run on whatever backend is default (TPU under the driver); pass
+``--backend cpu`` to force CPU.
+"""
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--backend", default=None)
+    ap.add_argument("--epochs", type=int, default=3000)
+    args = ap.parse_args()
+    if args.backend:
+        jax.config.update("jax_platforms", args.backend)
+
+    from whvi_tpu.data import cubic_data
+    from whvi_tpu.models import WHVILinear, WHVIRegression, relu
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    (X_tr, y_tr), _ = cubic_data(seed=0)
+    net = WHVIRegression(
+        [
+            WHVILinear(3, 16, lambda_=2.0, s_init="auto"),
+            relu,
+            WHVILinear(16, 1, s_init="auto"),
+        ]
+    )
+    cfg = TrainConfig(
+        epochs1=0,
+        epochs2=args.epochs,
+        epochs_per_call=max(1, args.epochs // 4),
+        kl_warmup_steps=1000,
+    )
+    trainer = Trainer(net, cfg)
+    state = trainer.init(jax.random.PRNGKey(0))
+
+    # warmup/compile: full throwaway run through the same jitted runner
+    wstate = trainer.init(jax.random.PRNGKey(1))
+    trainer.fit(wstate, X_tr, y_tr)
+
+    t0 = time.time()
+    state, _ = trainer.fit(state, X_tr, y_tr)
+    wall = time.time() - t0
+    eps = args.epochs / wall
+
+    baseline = 155.0  # reference toy LRT epochs/s on GTX 970 (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "toy_elbo_epochs_per_s",
+                "value": round(eps, 2),
+                "unit": "epochs/s",
+                "vs_baseline": round(eps / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

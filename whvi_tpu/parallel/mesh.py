@@ -1,0 +1,162 @@
+"""SPMD scaling: device meshes + sharded MC-ELBO training.
+
+The reference is strictly single-process single-device (SURVEY.md section
+2.6: no torch.distributed anywhere; its only device boundary is the CUDA
+kernel launch). The TPU-native scaling axes for WHVI are:
+
+- **MC samples** (the domain-specific axis): the ELBO averages S
+  stochastic forward passes; samples are embarrassingly parallel up to
+  the final mean. We vmap samples per chip and shard the sample axis
+  across the ``sample`` mesh axis.
+- **data batch**: classic DP across the ``data`` mesh axis.
+
+Parameters are replicated (per-layer D <= 8192 fits one chip easily —
+a WHVI layer is O(D) parameters, that's the whole point). The partial
+MNLL is reduced with an explicit ``psum`` over both mesh axes inside
+``shard_map``; gradient reduction falls out of AD through the psum
+(XLA emits the matching all-reduce over ICI).
+
+``jax.distributed.initialize()`` + the same mesh code covers multi-host;
+nothing here is host-count-specific.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from whvi_tpu.train.optim import mask_likelihood_grads
+from whvi_tpu.train.trainer import TrainState
+
+__all__ = ["make_mesh", "sharded_loss_fn", "make_sharded_train_step"]
+
+
+def make_mesh(
+    data: int = 1, sample: int = 1, devices=None
+) -> Mesh:
+    """Build a ``(data, sample)`` mesh over the available devices.
+
+    ``data * sample`` must equal the device count used. On a pod slice,
+    put the larger axis innermost (sample) so sample reductions ride the
+    fastest ICI links.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = data * sample
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for mesh (data={data}, sample={sample}), "
+            f"have {len(devices)}"
+        )
+    dev_array = np.asarray(devices[:n]).reshape(data, sample)
+    return Mesh(dev_array, axis_names=("data", "sample"))
+
+
+def sharded_loss_fn(
+    net,
+    mesh: Mesh,
+    n_samples: int,
+    ignore_kl: bool = False,
+):
+    """Build ``loss(params, key, x, y, n, kl_scale) -> (loss, aux)`` that
+    computes the MC-ELBO with the sample axis sharded over ``sample`` and
+    the batch axis over ``data``.
+
+    Each device evaluates ``n_samples / sample_shards`` MC forward passes
+    on ``B / data_shards`` rows; per-shard MNLL partials are psum-reduced
+    over both axes. The result is numerically the same estimator as the
+    single-device path (same per-sample PRNG keys).
+    """
+    d_shards = mesh.shape["data"]
+    s_shards = mesh.shape["sample"]
+    if n_samples % s_shards:
+        raise ValueError(
+            f"n_samples={n_samples} not divisible by sample shards {s_shards}"
+        )
+
+    def _local(params, keys, x, y, n):
+        # keys: (S_local,) — one stochastic forward per key
+        y_hat = jax.vmap(lambda k: net.apply(params, x, k))(keys)
+        mnll_local = net.likelihood.mnll(params["likelihood"], y, y_hat, n)
+        # average the per-shard MNLL estimates over the whole mesh
+        return jax.lax.psum(mnll_local, ("data", "sample")) / (
+            d_shards * s_shards
+        )
+
+    local = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P("sample"), P("data"), P("data"), P()),
+        out_specs=P(),
+    )
+
+    def loss_fn(params, key, x, y, n, kl_scale=1.0):
+        keys = jax.random.split(key, n_samples)
+        mnll = local(params, keys, x, y, jnp.asarray(n, jnp.float32))
+        kl = net.kl(params)
+        loss = mnll if ignore_kl else mnll + kl_scale * kl
+        return loss, {"mnll": mnll, "kl": kl}
+
+    return loss_fn
+
+
+def make_sharded_train_step(
+    net,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    n_samples: int = 1,
+    kl_warmup_steps: int = 0,
+    ignore_kl: bool = False,
+):
+    """Jitted SPMD train step over the mesh.
+
+    Returns ``(step_fn, shard_state, shard_batch)``:
+      - ``step_fn(state, x, y, n) -> (state, metrics)`` — donate-safe,
+        compiled with replicated params and data-sharded batches;
+      - ``shard_state(state)`` / ``shard_batch(x, y)`` — device_put
+        helpers applying the matching shardings.
+    """
+    loss_fn = sharded_loss_fn(net, mesh, n_samples, ignore_kl)
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+
+    def step_fn(state: TrainState, x, y, n):
+        key, sub = jax.random.split(state.key)
+        if kl_warmup_steps > 0:
+            kl_scale = jnp.minimum(
+                1.0, state.step.astype(jnp.float32) / kl_warmup_steps
+            )
+        else:
+            kl_scale = 1.0
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, sub, x, y, n, kl_scale
+        )
+        grads = mask_likelihood_grads(grads, 1.0)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "mnll": aux["mnll"], "kl": aux["kl"]}
+        return TrainState(params, opt_state, key, state.step + 1), metrics
+
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(replicated, batch_sharded, batch_sharded, None),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def shard_state(state: TrainState) -> TrainState:
+        return jax.device_put(state, replicated)
+
+    def shard_batch(x, y):
+        return (
+            jax.device_put(jnp.asarray(x), batch_sharded),
+            jax.device_put(jnp.asarray(y), batch_sharded),
+        )
+
+    return jitted, shard_state, shard_batch

@@ -109,14 +109,19 @@ class Trainer:
 
     # ---------------------------------------------------------------- init
     def init(self, key: jax.Array, dtype=jnp.float32) -> TrainState:
-        k_init, k_state = jax.random.split(key)
-        params = self.net.init(k_init, dtype)
-        return TrainState(
-            params=params,
-            opt_state=self.tx.init(params),
-            key=k_state,
-            step=jnp.zeros((), jnp.int32),
-        )
+        # One jitted program for the whole init: eager per-op dispatch is
+        # pathologically slow on remote-compile TPU backends.
+        def _init(key):
+            k_init, k_state = jax.random.split(key)
+            params = self.net.init(k_init, dtype)
+            return TrainState(
+                params=params,
+                opt_state=self.tx.init(params),
+                key=k_state,
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        return jax.jit(_init)(key)
 
     # ----------------------------------------------------------- train step
     def train_step(
