@@ -9,6 +9,12 @@ reporting test RMSE and MNLL.
 Run: ``python experiments/run_toy_cubic.py [--epochs2 1500]``
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
 import argparse
 import json
 import time

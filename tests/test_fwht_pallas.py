@@ -1,0 +1,132 @@
+"""Pallas fused-kernel tests (interpret mode on CPU).
+
+Oracle pattern mirrors reference test/walsh.py plus VJP checks against
+the differentiable jnp formulation. Real-TPU execution of the same
+kernels is covered by benchmarks/tpu_kernel_check.py (the driver's bench
+runs on hardware; pytest runs on the CPU backend where only interpret
+mode is available).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from whvi_tpu.ops import build_H, whvi_mul, whvi_mul_dense_oracle
+from whvi_tpu.ops.fwht_pallas import (
+    _factor_pair,
+    fwht_pallas,
+    pallas_supported,
+    whvi_mul_pallas,
+)
+
+
+def _rand(D, B, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    s1 = jax.random.normal(ks[0], (D,))
+    u = jax.random.normal(ks[1], (D,))
+    s2 = jax.random.normal(ks[2], (D,))
+    x = jax.random.normal(ks[3], (B, D))
+    return s1, u, s2, x
+
+
+def test_factor_pair():
+    assert _factor_pair(64) == (1, 64)
+    assert _factor_pair(128) == (1, 128)
+    assert _factor_pair(512) == (1, 512)
+    assert _factor_pair(1024) == (1, 1024)
+    assert _factor_pair(2048) == (16, 128)
+    assert _factor_pair(4096) == (32, 128)
+    assert _factor_pair(16384) == (128, 128)
+    assert pallas_supported(8192)
+    assert not pallas_supported(32768)
+    assert not pallas_supported(96)
+
+
+@pytest.mark.parametrize("D", [8, 64, 128, 512, 1024, 2048])
+def test_fused_matches_jnp(D):
+    s1, u, s2, x = _rand(D, B=24)
+    got = whvi_mul_pallas(s1, u, s2, x, True)
+    want = whvi_mul(s1, u, s2, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-2
+    )
+
+
+def test_fused_matches_dense_oracle():
+    D = 1024
+    s1, u, s2, x = _rand(D, B=5, seed=1)
+    got = whvi_mul_pallas(s1, u, s2, x, True)
+    want = whvi_mul_dense_oracle(s1, u, s2, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=1e-2
+    )
+
+
+@pytest.mark.parametrize("B", [3, 8, 100])
+def test_fused_odd_batch_sizes(B):
+    # batch not divisible by the tile: wrapper pads and slices
+    D = 128
+    s1, u, s2, x = _rand(D, B=B, seed=2)
+    got = whvi_mul_pallas(s1, u, s2, x, True)
+    want = whvi_mul(s1, u, s2, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-2
+    )
+
+
+@pytest.mark.parametrize("D", [64, 1024])
+def test_fused_vjp_matches_jnp_vjp(D):
+    s1, u, s2, x = _rand(D, B=6, seed=3)
+    g = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+
+    def f_pallas(s1, u, s2, x):
+        return whvi_mul_pallas(s1, u, s2, x, True)
+
+    def f_jnp(s1, u, s2, x):
+        return whvi_mul(s1, u, s2, x)
+
+    out_p, vjp_p = jax.vjp(f_pallas, s1, u, s2, x)
+    out_j, vjp_j = jax.vjp(f_jnp, s1, u, s2, x)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_j), rtol=5e-3, atol=1e-2
+    )
+    for gp, gj, name in zip(vjp_p(g), vjp_j(g), ("s1", "u", "s2", "x")):
+        np.testing.assert_allclose(
+            np.asarray(gp),
+            np.asarray(gj),
+            rtol=5e-3,
+            atol=1e-2,
+            err_msg=f"grad {name}",
+        )
+
+
+def test_fused_grad_of_scalar_loss():
+    # end-to-end: grad of a scalar loss through the fused op matches the
+    # jnp path (autodiff ground truth) — stronger than finite differences
+    # in fp32.
+    D = 128
+    s1, u, s2, x = _rand(D, B=4, seed=4)
+
+    def loss_p(s1, u, s2):
+        return jnp.sum(jnp.tanh(whvi_mul_pallas(s1, u, s2, x, True)))
+
+    def loss_j(s1, u, s2):
+        return jnp.sum(jnp.tanh(whvi_mul(s1, u, s2, x)))
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(s1, u, s2)
+    gj = jax.grad(loss_j, argnums=(0, 1, 2))(s1, u, s2)
+    for a, b in zip(gp, gj):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3
+        )
+
+
+@pytest.mark.parametrize("D", [32, 128, 1024])
+def test_fwht_pallas_matches_dense(D):
+    x = jax.random.normal(jax.random.PRNGKey(5), (7, D))
+    got = fwht_pallas(x, interpret=True)
+    want = x @ np.asarray(build_H(D))
+    np.testing.assert_allclose(
+        np.asarray(got), want, rtol=1e-4, atol=1e-3
+    )

@@ -1,0 +1,335 @@
+"""Fused Pallas TPU kernel for the WHVI structured product.
+
+TPU-native replacement for the reference's CUDA FWHT extension
+(src/fwht/cuda/fwht_cuda_kernel.cu:36-181). The reference kernel is a
+radix-4 shared-memory butterfly that (a) only computes the bare
+transform — the three diagonal scalings and the matvec composition run
+as separate kernel launches — and (b) is launch-limited to ``D <= 4096``
+(``D/4`` threads/block exceeds the 1024-thread cap beyond that; SURVEY.md
+section 2.1).
+
+Here the *whole* product
+
+    y = x @ (S1 H diag(u) H S2)^T  =  s1 * H(u * H(s2 * x))
+
+runs in one ``pallas_call`` per batch tile, entirely in VMEM:
+
+- the FWHT uses the Kronecker factorization ``H_D = H_a (x) H_b``
+  (``b = 128`` matching the MXU/lane width, ``a = D/128``), so each
+  transform is two dense MXU matmuls instead of ``log2 D`` butterfly
+  stages on the VPU; for ``D <= 512`` a single dense ``H_D`` matmul is
+  used (H_D fits VMEM trivially);
+- between the two transforms the data stays in the "swapped" ``(b, a)``
+  layout so only the two layout transposes intrinsic to the factorized
+  transform are needed;
+- the three diagonal scalings are fused as VPU elementwise ops — x is
+  read from HBM once and y written once (the jnp/XLA path materializes
+  the intermediate between the transforms for large D).
+
+Mosaic constraint honored throughout: in-kernel reshapes only merge or
+split *leading* dims (lane dim never changes); batch tiles are 3D
+``(TB, a, b)`` views created by free host-side reshapes.
+
+Backward uses self-adjointness ``H^T = H`` (reference states this for
+its kernel in src/fwht/cuda/fwht.py:14-16): the VJP w.r.t. ``x`` is the
+same fused kernel with ``s1`` and ``s2`` swapped, and the diagonal
+gradients are batch reductions of elementwise products with the two
+transform intermediates, which the kernel emits as extra outputs.
+
+Supported: ``D`` a power of two, ``4 <= D <= 16384``. Larger D falls
+back to the jnp path in ``ops/whvi_op.py`` (itself unlimited).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from whvi_tpu.ops.hadamard import build_H, is_pow_of_2
+
+__all__ = ["whvi_mul_pallas", "fwht_pallas", "pallas_supported"]
+
+_LANE = 128
+_ONE_FACTOR_MAX = 1024
+_VMEM_BUDGET = 8 * 1024 * 1024  # bytes of VMEM we aim to stay under
+
+
+def _factor_pair(D: int) -> tuple[int, int]:
+    """(a, b) with a*b = D; a == 1 selects the dense single-factor path."""
+    if D <= _ONE_FACTOR_MAX:
+        return (1, D)
+    a = D // _LANE
+    if a > _LANE:
+        raise ValueError(f"D={D} too large for the two-factor kernel")
+    return (a, _LANE)
+
+
+def pallas_supported(D: int) -> bool:
+    return is_pow_of_2(D) and 4 <= D <= _LANE * _LANE
+
+
+def _pick_tile(B: int, D: int, itemsize: int = 4) -> int:
+    """Batch-tile rows for the VMEM budget.
+
+    Live VMEM per grid step is ~16 (TB, D) buffers: double-buffered
+    input + 3 double-buffered outputs + ~8 kernel temporaries, so keep
+    ``16 * TB * D * itemsize`` under the ~16 MB VMEM.
+    """
+    tb = _VMEM_BUDGET // (32 * itemsize * D)
+    tb = max(8, min(256, tb))
+    tb = 1 << (tb.bit_length() - 1)  # round down to power of two
+    return min(tb, max(8, 1 << ((B - 1).bit_length())))
+
+
+# --------------------------------------------------------------------- core
+
+
+def _kernel_1f(s2_ref, u_ref, s1_ref, h_ref, x_ref, y_ref, i1_ref, i2_ref):
+    """Single-factor (D <= 1024) fused kernel; emits intermediates."""
+    t = x_ref[:] * s2_ref[:]
+    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    i1_ref[:] = t  # inner1 = H(s2 * x)
+    t = t * u_ref[:]
+    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    i2_ref[:] = t  # inner2 = H(u * inner1)
+    y_ref[:] = t * s1_ref[:]
+
+
+def _kernel_1f_y(s2_ref, u_ref, s1_ref, h_ref, x_ref, y_ref):
+    """Single-factor fused kernel, y only (inference / fwd-only): one HBM
+    read of x, one write of y."""
+    t = x_ref[:] * s2_ref[:]
+    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    t = t * u_ref[:]
+    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    y_ref[:] = t * s1_ref[:]
+
+
+def _kernel_2f_y(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
+    """Two-factor fused kernel, y only."""
+    TB, a, b = x_ref.shape
+    t = x_ref[:] * s2_ref[:]
+    t = t.reshape(TB * a, b)
+    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)
+    t = t.reshape(TB, a, b).swapaxes(1, 2).reshape(TB * b, a)
+    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)
+    t = t.reshape(TB, b, a) * ut_ref[:]
+    t = t.reshape(TB * b, a)
+    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)
+    t = t.reshape(TB, b, a).swapaxes(1, 2).reshape(TB * a, b)
+    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)
+    y_ref[:] = t.reshape(TB, a, b) * s1_ref[:]
+
+
+def _kernel_2f(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref, i1_ref, i2_ref):
+    """Two-factor fused kernel over 3D blocks.
+
+    ``x_ref``: (TB, a, b) natural layout (row index = i_a * b + i_b);
+    ``s2_ref``/``s1_ref``: (1, a, b); ``ut_ref``: (1, b, a) — ``u``
+    pre-swapped on the host so the middle scaling needs no transpose.
+    ``i1`` is emitted in swapped (TB, b, a) layout, ``i2`` natural.
+    """
+    TB, a, b = x_ref.shape
+    # ---- first transform: natural -> swapped
+    t = x_ref[:] * s2_ref[:]
+    t = t.reshape(TB * a, b)
+    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)  # b axis
+    t = t.reshape(TB, a, b).swapaxes(1, 2).reshape(TB * b, a)
+    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)  # a axis
+    t = t.reshape(TB, b, a)  # swapped layout
+    i1_ref[:] = t
+    # ---- middle scaling (u pre-swapped)
+    t = t * ut_ref[:]
+    # ---- second transform: swapped -> natural
+    t = t.reshape(TB * b, a)
+    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)  # a axis
+    t = t.reshape(TB, b, a).swapaxes(1, 2).reshape(TB * a, b)
+    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)  # b axis
+    t = t.reshape(TB, a, b)
+    i2_ref[:] = t
+    y_ref[:] = t * s1_ref[:]
+
+
+def _swap_vec(v: jax.Array, a: int, b: int) -> jax.Array:
+    """Reindex a length-D vector from natural (a, b) to swapped (b, a)."""
+    return v.reshape(a, b).T.reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "want_residuals")
+)
+def _fused_raw(s1, u, s2, x, interpret=False, want_residuals=True):
+    """x (B, D) -> (y, i1, i2) when ``want_residuals`` else (y, None,
+    None); i1 is swapped-layout for the 2-factor path (flattened (b, a)
+    indexing). The y-only variant does exactly one HBM read + one write
+    per element."""
+    B, D = x.shape
+    a, b = _factor_pair(D)
+    TB = _pick_tile(B, D)
+    pad = (-B) % TB
+    xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+    Bp = B + pad
+    grid = (Bp // TB,)
+
+    if a == 1:
+        vec = lambda: pl.BlockSpec(
+            (1, D), lambda i: (0, 0), memory_space=pltpu.VMEM
+        )
+        mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        tile = pl.BlockSpec((TB, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        H = build_H(D, x.dtype)
+        cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+        if not want_residuals:
+            y = pl.pallas_call(
+                _kernel_1f_y,
+                grid=grid,
+                in_specs=[vec(), vec(), vec(), mat, tile],
+                out_specs=tile,
+                out_shape=jax.ShapeDtypeStruct((Bp, D), x.dtype),
+                compiler_params=cp,
+                interpret=interpret,
+            )(s2[None], u[None], s1[None], H, xp)
+            return y[:B], None, None
+        y, i1, i2 = pl.pallas_call(
+            _kernel_1f,
+            grid=grid,
+            in_specs=[vec(), vec(), vec(), mat, tile],
+            out_specs=[tile] * 3,
+            out_shape=[jax.ShapeDtypeStruct((Bp, D), x.dtype)] * 3,
+            compiler_params=cp,
+            interpret=interpret,
+        )(s2[None], u[None], s1[None], H, xp)
+        return y[:B], i1[:B], i2[:B]
+
+    # ---- two-factor path: 3D blocks, host-side free reshapes
+    x3 = xp.reshape(Bp, a, b)
+    vec_nat = lambda: pl.BlockSpec(
+        (1, a, b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    vec_sw = pl.BlockSpec(
+        (1, b, a), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+    )
+    mat = lambda n: pl.BlockSpec(
+        (n, n), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    tile_nat = pl.BlockSpec(
+        (TB, a, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    tile_sw = pl.BlockSpec(
+        (TB, b, a), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    Ha = build_H(a, x.dtype)
+    Hb = build_H(b, x.dtype)
+    ut = _swap_vec(u, a, b)
+    if not want_residuals:
+        y = pl.pallas_call(
+            _kernel_2f_y,
+            grid=grid,
+            in_specs=[vec_nat(), vec_sw, vec_nat(), mat(a), mat(b), tile_nat],
+            out_specs=tile_nat,
+            out_shape=jax.ShapeDtypeStruct((Bp, a, b), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            s2.reshape(1, a, b),
+            ut.reshape(1, b, a),
+            s1.reshape(1, a, b),
+            Ha,
+            Hb,
+            x3,
+        )
+        return y.reshape(Bp, D)[:B], None, None
+    y, i1, i2 = pl.pallas_call(
+        _kernel_2f,
+        grid=grid,
+        in_specs=[vec_nat(), vec_sw, vec_nat(), mat(a), mat(b), tile_nat],
+        out_specs=[tile_nat, tile_sw, tile_nat],
+        out_shape=[
+            jax.ShapeDtypeStruct((Bp, a, b), x.dtype),
+            jax.ShapeDtypeStruct((Bp, b, a), x.dtype),
+            jax.ShapeDtypeStruct((Bp, a, b), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        s2.reshape(1, a, b),
+        ut.reshape(1, b, a),
+        s1.reshape(1, a, b),
+        Ha,
+        Hb,
+        x3,
+    )
+    return (
+        y.reshape(Bp, D)[:B],
+        i1.reshape(Bp, D)[:B],
+        i2.reshape(Bp, D)[:B],
+    )
+
+
+# ------------------------------------------------------------- custom VJP
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def whvi_mul_pallas(s1, u, s2, x, interpret=False):
+    """Fused ``y = s1 * H(u * H(s2 * x))`` on TPU via Pallas.
+
+    Shapes: ``s1, u, s2: (D,)``; ``x: (B, D)``; returns ``(B, D)``.
+    Differentiable in all four tensor args; the VJP reuses the kernel
+    (self-adjoint transform) plus batch reductions for the diagonals.
+    """
+    y, _, _ = _fused_raw(s1, u, s2, x, interpret, want_residuals=False)
+    return y
+
+
+def _fwd(s1, u, s2, x, interpret):
+    y, i1, i2 = _fused_raw(s1, u, s2, x, interpret)
+    return y, (s1, u, s2, x, i1, i2)
+
+
+def _bwd(interpret, res, g):
+    s1, u, s2, x, i1, i2 = res
+    D = x.shape[-1]
+    a, b = _factor_pair(D)
+    # dx = s2 * H(u * H(s1 * g)): the same fused op with s1/s2 swapped.
+    # Its intermediates are w1 = H(s1*g) (swapped layout for 2-factor)
+    # and t2 = H(u * w1) (natural layout).
+    dx, w1, t2 = _fused_raw(s2, u, s1, g, interpret)
+    # du = sum_B w1 * i1 — both swapped (or both natural for 1-factor):
+    # elementwise either way; unswap the 2-factor result back to natural.
+    du = jnp.sum(w1 * i1, axis=0)
+    if a != 1:
+        du = _swap_vec(du, b, a)
+    ds1 = jnp.sum(g * i2, axis=0)
+    ds2 = jnp.sum(x * t2, axis=0)
+    return ds1, du, ds2, dx
+
+
+whvi_mul_pallas.defvjp(_fwd, _bwd)
+
+
+def fwht_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Bare batched FWHT via the fused kernel's first transform stage.
+
+    Functional parity with the reference CUDA ``FWHTFunction.apply``
+    (src/fwht/cuda/fwht.py:5-16), without its D <= 4096 launch wall.
+    ``i1 = H(1 * x)`` is the first intermediate of the fused kernel with
+    unit scalings.
+    """
+    D = x.shape[-1]
+    ones = jnp.ones((D,), x.dtype)
+    batch = x.shape[:-1]
+    x2 = x.reshape(-1, D)
+    _, i1, _ = _fused_raw(ones, ones, ones, x2, interpret)
+    a, b = _factor_pair(D)
+    if a != 1:
+        # i1 is in swapped layout; unswap to natural
+        i1 = i1.reshape(-1, b, a).swapaxes(1, 2).reshape(-1, D)
+    return i1.reshape(batch + (D,))
