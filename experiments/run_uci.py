@@ -1,0 +1,70 @@
+"""UCI regression experiments — the reference's per-dataset runners.
+
+One CLI covering run_boston / run_concrete / run_energy / run_yacht /
+run_kin8nm / run_naval (+ protein), with the reference's protocol
+defaults (8 x 90/10 splits, 128-128 ReLU WHVI MLP, 500+50000 epochs,
+evaluation.py:30-108).
+
+Examples:
+  python experiments/run_uci.py yacht
+  python experiments/run_uci.py concrete --epochs2 2000 --splits 2
+  python experiments/run_uci.py --list
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+
+from whvi_tpu.data.uci import UCI_DATASETS, dataset_info, load_uci
+from whvi_tpu.evaluation import ProtocolConfig, evaluate_bayesian_regression
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", nargs="?", choices=sorted(UCI_DATASETS))
+    ap.add_argument("--list", action="store_true", help="show availability")
+    ap.add_argument("--splits", type=int, default=8)
+    ap.add_argument("--epochs1", type=int, default=500)
+    ap.add_argument("--epochs2", type=int, default=50000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--s-init", default="auto")
+    ap.add_argument("--kl-warmup-frac", type=float, default=0.2)
+    ap.add_argument("--quiet", action="store_true")
+    args = ap.parse_args()
+
+    if args.list or not args.dataset:
+        for name in sorted(UCI_DATASETS):
+            print(json.dumps(dataset_info(name)))
+        return
+
+    X, y = load_uci(args.dataset)
+    cfg = ProtocolConfig(
+        n_splits=args.splits,
+        epochs1=args.epochs1,
+        epochs2=args.epochs2,
+        batch_size=args.batch,
+        seed=args.seed,
+        s_init=args.s_init if args.s_init == "auto" else float(args.s_init),
+        kl_warmup_frac=args.kl_warmup_frac,
+    )
+    log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
+    out = evaluate_bayesian_regression(
+        X,
+        y,
+        cfg,
+        ckpt_dir=args.ckpt_dir
+        or os.path.join("checkpoints", args.dataset),
+        log_fn=log_fn,
+    )
+    out["dataset"] = args.dataset
+    print(json.dumps({k: v for k, v in out.items() if k != "splits"}))
+
+
+if __name__ == "__main__":
+    main()

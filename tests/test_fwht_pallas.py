@@ -46,7 +46,7 @@ def test_factor_pair():
 @pytest.mark.parametrize("D", [8, 64, 128, 512, 1024, 2048])
 def test_fused_matches_jnp(D):
     s1, u, s2, x = _rand(D, B=24)
-    got = whvi_mul_pallas(s1, u, s2, x, True)
+    got = whvi_mul_pallas(s1, u, s2, x, True, "fp32")
     want = whvi_mul(s1, u, s2, x)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-2
@@ -56,7 +56,7 @@ def test_fused_matches_jnp(D):
 def test_fused_matches_dense_oracle():
     D = 1024
     s1, u, s2, x = _rand(D, B=5, seed=1)
-    got = whvi_mul_pallas(s1, u, s2, x, True)
+    got = whvi_mul_pallas(s1, u, s2, x, True, "fp32")
     want = whvi_mul_dense_oracle(s1, u, s2, x)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-3, atol=1e-2
@@ -68,7 +68,7 @@ def test_fused_odd_batch_sizes(B):
     # batch not divisible by the tile: wrapper pads and slices
     D = 128
     s1, u, s2, x = _rand(D, B=B, seed=2)
-    got = whvi_mul_pallas(s1, u, s2, x, True)
+    got = whvi_mul_pallas(s1, u, s2, x, True, "fp32")
     want = whvi_mul(s1, u, s2, x)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-2
@@ -81,7 +81,7 @@ def test_fused_vjp_matches_jnp_vjp(D):
     g = jax.random.normal(jax.random.PRNGKey(9), x.shape)
 
     def f_pallas(s1, u, s2, x):
-        return whvi_mul_pallas(s1, u, s2, x, True)
+        return whvi_mul_pallas(s1, u, s2, x, True, "fp32")
 
     def f_jnp(s1, u, s2, x):
         return whvi_mul(s1, u, s2, x)
@@ -109,7 +109,7 @@ def test_fused_grad_of_scalar_loss():
     s1, u, s2, x = _rand(D, B=4, seed=4)
 
     def loss_p(s1, u, s2):
-        return jnp.sum(jnp.tanh(whvi_mul_pallas(s1, u, s2, x, True)))
+        return jnp.sum(jnp.tanh(whvi_mul_pallas(s1, u, s2, x, True, "fp32")))
 
     def loss_j(s1, u, s2):
         return jnp.sum(jnp.tanh(whvi_mul(s1, u, s2, x)))

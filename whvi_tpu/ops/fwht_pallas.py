@@ -55,7 +55,7 @@ __all__ = ["whvi_mul_pallas", "fwht_pallas", "pallas_supported"]
 
 _LANE = 128
 _ONE_FACTOR_MAX = 1024
-_VMEM_BUDGET = 8 * 1024 * 1024  # bytes of VMEM we aim to stay under
+_VMEM_BUDGET = 96 * 1024 * 1024  # v5e VMEM is 128 MB; leave headroom
 
 
 def _factor_pair(D: int) -> tuple[int, int]:
@@ -79,7 +79,7 @@ def _pick_tile(B: int, D: int, itemsize: int = 4) -> int:
     input + 3 double-buffered outputs + ~8 kernel temporaries, so keep
     ``16 * TB * D * itemsize`` under the ~16 MB VMEM.
     """
-    tb = _VMEM_BUDGET // (32 * itemsize * D)
+    tb = _VMEM_BUDGET // (24 * itemsize * D)
     tb = max(8, min(256, tb))
     tb = 1 << (tb.bit_length() - 1)  # round down to power of two
     return min(tb, max(8, 1 << ((B - 1).bit_length())))
@@ -88,13 +88,23 @@ def _pick_tile(B: int, D: int, itemsize: int = 4) -> int:
 # --------------------------------------------------------------------- core
 
 
+def _dot(t, h_ref):
+    """MXU matmul; operands cast to H's dtype (bf16 by default — H is
+    +-1 so exact; activations round like XLA's default TPU matmul),
+    accumulation forced to float32."""
+    h = h_ref[:]
+    return jnp.dot(
+        t.astype(h.dtype), h, preferred_element_type=jnp.float32
+    )
+
+
 def _kernel_1f(s2_ref, u_ref, s1_ref, h_ref, x_ref, y_ref, i1_ref, i2_ref):
     """Single-factor (D <= 1024) fused kernel; emits intermediates."""
     t = x_ref[:] * s2_ref[:]
-    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    t = _dot(t, h_ref)
     i1_ref[:] = t  # inner1 = H(s2 * x)
     t = t * u_ref[:]
-    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    t = _dot(t, h_ref)
     i2_ref[:] = t  # inner2 = H(u * inner1)
     y_ref[:] = t * s1_ref[:]
 
@@ -103,26 +113,36 @@ def _kernel_1f_y(s2_ref, u_ref, s1_ref, h_ref, x_ref, y_ref):
     """Single-factor fused kernel, y only (inference / fwd-only): one HBM
     read of x, one write of y."""
     t = x_ref[:] * s2_ref[:]
-    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    t = _dot(t, h_ref)
     t = t * u_ref[:]
-    t = jnp.dot(t, h_ref[:], preferred_element_type=jnp.float32)
+    t = _dot(t, h_ref)
     y_ref[:] = t * s1_ref[:]
 
 
+def _dotg(t, h_ref, axis):
+    """Contract ``axis`` of rank-3 ``t`` with H; dot_general appends the
+    result axis last, so contracting the middle axis swaps the layout
+    with no explicit transpose (free dims keep order, contracted axis
+    re-enters last)."""
+    h = h_ref[:]
+    return jax.lax.dot_general(
+        t.astype(h.dtype),
+        h,
+        (((axis,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _kernel_2f_y(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
-    """Two-factor fused kernel, y only."""
-    TB, a, b = x_ref.shape
-    t = x_ref[:] * s2_ref[:]
-    t = t.reshape(TB * a, b)
-    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)
-    t = t.reshape(TB, a, b).swapaxes(1, 2).reshape(TB * b, a)
-    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)
-    t = t.reshape(TB, b, a) * ut_ref[:]
-    t = t.reshape(TB * b, a)
-    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)
-    t = t.reshape(TB, b, a).swapaxes(1, 2).reshape(TB * a, b)
-    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)
-    y_ref[:] = t.reshape(TB, a, b) * s1_ref[:]
+    """Two-factor fused kernel, y only; transpose-free (middle-axis
+    contractions produce the layout swaps implicitly)."""
+    t = x_ref[:] * s2_ref[:]          # (TB, a, b) natural
+    t = _dotg(t, hb_ref, 2)           # b transformed     -> (TB, a, b)
+    t = _dotg(t, ha_ref, 1)           # a transformed     -> (TB, b, a) swapped
+    t = t * ut_ref[:]
+    t = _dotg(t, ha_ref, 2)           # a transformed     -> (TB, b, a)
+    t = _dotg(t, hb_ref, 1)           # b transformed     -> (TB, a, b) natural
+    y_ref[:] = t * s1_ref[:]
 
 
 def _kernel_2f(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref, i1_ref, i2_ref):
@@ -133,23 +153,16 @@ def _kernel_2f(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref, i1_ref, i2_
     pre-swapped on the host so the middle scaling needs no transpose.
     ``i1`` is emitted in swapped (TB, b, a) layout, ``i2`` natural.
     """
-    TB, a, b = x_ref.shape
-    # ---- first transform: natural -> swapped
+    # ---- first transform: natural -> swapped (no transposes)
     t = x_ref[:] * s2_ref[:]
-    t = t.reshape(TB * a, b)
-    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)  # b axis
-    t = t.reshape(TB, a, b).swapaxes(1, 2).reshape(TB * b, a)
-    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)  # a axis
-    t = t.reshape(TB, b, a)  # swapped layout
+    t = _dotg(t, hb_ref, 2)           # (TB, a, b)
+    t = _dotg(t, ha_ref, 1)           # (TB, b, a) swapped
     i1_ref[:] = t
     # ---- middle scaling (u pre-swapped)
     t = t * ut_ref[:]
     # ---- second transform: swapped -> natural
-    t = t.reshape(TB * b, a)
-    t = jnp.dot(t, ha_ref[:], preferred_element_type=jnp.float32)  # a axis
-    t = t.reshape(TB, b, a).swapaxes(1, 2).reshape(TB * a, b)
-    t = jnp.dot(t, hb_ref[:], preferred_element_type=jnp.float32)  # b axis
-    t = t.reshape(TB, a, b)
+    t = _dotg(t, ha_ref, 2)           # (TB, b, a)
+    t = _dotg(t, hb_ref, 1)           # (TB, a, b) natural
     i2_ref[:] = t
     y_ref[:] = t * s1_ref[:]
 
@@ -160,9 +173,11 @@ def _swap_vec(v: jax.Array, a: int, b: int) -> jax.Array:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "want_residuals")
+    jax.jit, static_argnames=("interpret", "want_residuals", "precision")
 )
-def _fused_raw(s1, u, s2, x, interpret=False, want_residuals=True):
+def _fused_raw(
+    s1, u, s2, x, interpret=False, want_residuals=True, precision="bf16"
+):
     """x (B, D) -> (y, i1, i2) when ``want_residuals`` else (y, None,
     None); i1 is swapped-layout for the 2-factor path (flattened (b, a)
     indexing). The y-only variant does exactly one HBM read + one write
@@ -174,6 +189,7 @@ def _fused_raw(s1, u, s2, x, interpret=False, want_residuals=True):
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     Bp = B + pad
     grid = (Bp // TB,)
+    h_dtype = jnp.bfloat16 if precision == "bf16" else x.dtype
 
     if a == 1:
         vec = lambda: pl.BlockSpec(
@@ -181,7 +197,7 @@ def _fused_raw(s1, u, s2, x, interpret=False, want_residuals=True):
         )
         mat = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
         tile = pl.BlockSpec((TB, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        H = build_H(D, x.dtype)
+        H = build_H(D, h_dtype)
         cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
         if not want_residuals:
             y = pl.pallas_call(
@@ -222,8 +238,8 @@ def _fused_raw(s1, u, s2, x, interpret=False, want_residuals=True):
     tile_sw = pl.BlockSpec(
         (TB, b, a), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    Ha = build_H(a, x.dtype)
-    Hb = build_H(b, x.dtype)
+    Ha = build_H(a, h_dtype)
+    Hb = build_H(b, h_dtype)
     ut = _swap_vec(u, a, b)
     if not want_residuals:
         y = pl.pallas_call(
@@ -277,31 +293,33 @@ def _fused_raw(s1, u, s2, x, interpret=False, want_residuals=True):
 # ------------------------------------------------------------- custom VJP
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def whvi_mul_pallas(s1, u, s2, x, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def whvi_mul_pallas(s1, u, s2, x, interpret=False, precision="bf16"):
     """Fused ``y = s1 * H(u * H(s2 * x))`` on TPU via Pallas.
 
     Shapes: ``s1, u, s2: (D,)``; ``x: (B, D)``; returns ``(B, D)``.
     Differentiable in all four tensor args; the VJP reuses the kernel
     (self-adjoint transform) plus batch reductions for the diagonals.
     """
-    y, _, _ = _fused_raw(s1, u, s2, x, interpret, want_residuals=False)
+    y, _, _ = _fused_raw(
+        s1, u, s2, x, interpret, want_residuals=False, precision=precision
+    )
     return y
 
 
-def _fwd(s1, u, s2, x, interpret):
-    y, i1, i2 = _fused_raw(s1, u, s2, x, interpret)
+def _fwd(s1, u, s2, x, interpret, precision):
+    y, i1, i2 = _fused_raw(s1, u, s2, x, interpret, precision=precision)
     return y, (s1, u, s2, x, i1, i2)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, precision, res, g):
     s1, u, s2, x, i1, i2 = res
     D = x.shape[-1]
     a, b = _factor_pair(D)
     # dx = s2 * H(u * H(s1 * g)): the same fused op with s1/s2 swapped.
     # Its intermediates are w1 = H(s1*g) (swapped layout for 2-factor)
     # and t2 = H(u * w1) (natural layout).
-    dx, w1, t2 = _fused_raw(s2, u, s1, g, interpret)
+    dx, w1, t2 = _fused_raw(s2, u, s1, g, interpret, precision=precision)
     # du = sum_B w1 * i1 — both swapped (or both natural for 1-factor):
     # elementwise either way; unswap the 2-factor result back to natural.
     du = jnp.sum(w1 * i1, axis=0)
@@ -315,7 +333,9 @@ def _bwd(interpret, res, g):
 whvi_mul_pallas.defvjp(_fwd, _bwd)
 
 
-def fwht_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+def fwht_pallas(
+    x: jax.Array, interpret: bool = False, precision: str = "fp32"
+) -> jax.Array:
     """Bare batched FWHT via the fused kernel's first transform stage.
 
     Functional parity with the reference CUDA ``FWHTFunction.apply``
@@ -327,7 +347,7 @@ def fwht_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     ones = jnp.ones((D,), x.dtype)
     batch = x.shape[:-1]
     x2 = x.reshape(-1, D)
-    _, i1, _ = _fused_raw(ones, ones, ones, x2, interpret)
+    _, i1, _ = _fused_raw(ones, ones, ones, x2, interpret, precision=precision)
     a, b = _factor_pair(D)
     if a != 1:
         # i1 is in swapped layout; unswap to natural
