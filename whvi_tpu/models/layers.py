@@ -84,6 +84,15 @@ class WHVILinear:
         """Dense ``(n_out, n_in)`` weight sample (oracle / inspection)."""
         return self.matrix.sample_W(params, key)
 
+    def apply_given_g(
+        self, params: dict, x: jax.Array, g: jax.Array
+    ) -> jax.Array:
+        """Deterministic forward with explicit ``g`` (MCMC path)."""
+        y = self.matrix.apply_given_g(params, x, g)
+        if self.bias:
+            y = y + params["bias"]
+        return y
+
 
 @dataclasses.dataclass(frozen=True)
 class Dense:

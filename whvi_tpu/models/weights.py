@@ -159,6 +159,13 @@ class SquarePow2Matrix:
         g = self.sample_g(params, key)
         return whvi_mul(s1, g, s2, x)
 
+    def apply_given_g(
+        self, params: dict, x: jax.Array, g: jax.Array
+    ) -> jax.Array:
+        """Deterministic forward with an explicit ``g`` (MCMC/golden-
+        sampler path: g is the sampled variable, not drawn from q)."""
+        return whvi_mul(params["s1"], g, params["s2"], x)
+
 
 @dataclasses.dataclass(frozen=True)
 class StackedMatrix:
@@ -238,6 +245,16 @@ class StackedMatrix:
         out = out.reshape(out.shape[:-2] + (-1,))  # (..., D_out)
         return out[..., : self.n_out]
 
+    def apply_given_g(
+        self, params: dict, x: jax.Array, g: jax.Array
+    ) -> jax.Array:
+        """Deterministic forward with explicit ``g`` of shape
+        ``(stack, D_in)`` (MCMC path)."""
+        xp = self._pad(x)[..., None, :]
+        out = whvi_mul(params["s1"], g, params["s2"], xp)
+        out = out.reshape(out.shape[:-2] + (-1,))
+        return out[..., : self.n_out]
+
 
 @dataclasses.dataclass(frozen=True)
 class ColumnMatrix:
@@ -282,18 +299,30 @@ class ColumnMatrix:
     def kl(self, params: dict) -> jax.Array:
         return self._block.kl(params)
 
-    def sample_column(self, params: dict, key: jax.Array) -> jax.Array:
-        """First ``n`` entries of ``vec(W)`` (row-major), shape ``(n,)``."""
+    def column_given_g(self, params: dict, g: jax.Array) -> jax.Array:
+        """Column from an explicit ``g`` (MCMC path)."""
         D = self.D_adj
-        g = self._block.sample_g(params, key)
         n_rows = -(-self.n // D)
-        H_rows = build_H(D, g.dtype)[:n_rows]  # (n_rows, D)
+        H_rows = build_H(D, g.dtype)[:n_rows]
         rows = (
             params["s1"][:n_rows, None]
             * fwht(H_rows * g[None, :])
             * params["s2"][None, :]
         )
         return rows.reshape(-1)[: self.n]
+
+    def apply_given_g(
+        self, params: dict, x: jax.Array, g: jax.Array
+    ) -> jax.Array:
+        col = self.column_given_g(params, g)
+        if self.transposed:
+            return jnp.sum(x * col, axis=-1, keepdims=True)
+        return x * col
+
+    def sample_column(self, params: dict, key: jax.Array) -> jax.Array:
+        """First ``n`` entries of ``vec(W)`` (row-major), shape ``(n,)``."""
+        g = self._block.sample_g(params, key)
+        return self.column_given_g(params, g)
 
     def sample_W(self, params: dict, key: jax.Array) -> jax.Array:
         col = self.sample_column(params, key)
