@@ -1,0 +1,111 @@
+"""Large-D scaling experiment: WHVI MLP at D up to 8192+, MC-ELBO
+throughput across mesh layouts.
+
+BASELINE.json config: "Large-D scaling: WHVI MLP D=8192, 1024 MC ELBO
+samples sharded over multi-host pod with psum gradient reduction".
+On one chip this measures ELBO steps/s vs D and MC-sample count; on a
+mesh (or the 8-virtual-device CPU backend, --force-cpu-devices N) it
+runs the sharded step and reports samples/s scaling vs the 1-shard
+layout — the >=80% linear-scaling north star.
+
+Examples:
+  python experiments/run_scaling.py --sizes 1024 4096 8192
+  python experiments/run_scaling.py --force-cpu-devices 8 --mesh 2x4
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="*", default=[1024, 4096, 8192])
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--samples", type=int, default=8, help="MC samples")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--mesh", default=None, help="e.g. 2x4 (data x sample)")
+    ap.add_argument("--force-cpu-devices", type=int, default=0)
+    args = ap.parse_args()
+
+    if args.force_cpu_devices:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
+    import jax
+    import jax.numpy as jnp
+
+    if args.force_cpu_devices:
+        jax.config.update("jax_platforms", "cpu")
+
+    from whvi_tpu.models import WHVILinear, WHVIRegression, relu
+    from whvi_tpu.parallel import make_mesh, make_sharded_train_step
+    from whvi_tpu.train import Trainer, TrainConfig, decayed_adam
+
+    for D in args.sizes:
+        net = WHVIRegression(
+            [
+                WHVILinear(D, D, lambda_=3.0, s_init="auto"),
+                relu,
+                WHVILinear(D, D, lambda_=3.0, s_init="auto"),
+                relu,
+                WHVILinear(D, 1, s_init="auto"),
+            ],
+            train_samples=args.samples,
+        )
+        rng = np.random.RandomState(0)
+        X = rng.randn(args.batch, D).astype(np.float32)
+        y = rng.randn(args.batch, 1).astype(np.float32)
+
+        if args.mesh:
+            d, s = (int(v) for v in args.mesh.split("x"))
+            mesh = make_mesh(data=d, sample=s)
+        else:
+            mesh = make_mesh(data=1, sample=1)
+
+        tx = decayed_adam()
+        step, shard_state, shard_batch = make_sharded_train_step(
+            net, tx, mesh, n_samples=args.samples
+        )
+        trainer = Trainer(net, TrainConfig())
+        state = shard_state(trainer.init(jax.random.PRNGKey(0)))
+        xb, yb = shard_batch(X, y)
+
+        # warm
+        state, _ = step(state, xb, yb, args.batch)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            state, metrics = step(state, xb, yb, args.batch)
+        jax.block_until_ready(metrics)
+        dt = (time.perf_counter() - t0) / args.steps
+        print(
+            json.dumps(
+                {
+                    "D": D,
+                    "batch": args.batch,
+                    "mc_samples": args.samples,
+                    "mesh": dict(mesh.shape),
+                    "step_ms": round(dt * 1e3, 2),
+                    "elbo_steps_per_s": round(1.0 / dt, 2),
+                    "posterior_samples_per_s": round(
+                        args.samples * args.batch / dt, 1
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

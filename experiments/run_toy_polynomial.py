@@ -1,0 +1,99 @@
+"""The paper's toy polynomial experiment (reference Toy example.ipynb).
+
+Degree-8 polynomial target with a gap on x in [0.6, 1.4], noise
+N(0, exp(-3)), 128 points; WHVI model [WHVILinear(1,128), cos,
+WHVILinear(128,128), cos, WHVILinear(128,1)] (~1537 parameters,
+report/model-testing.tex:60), trained with and without KL, reporting
+train RMSE/MNLL and the predictive uncertainty inside vs outside the
+gap (the paper's in-between-uncertainty claim: a Bayesian model should
+be MORE uncertain in the gap).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whvi_tpu.data import polynomial_data
+from whvi_tpu.models import WHVILinear, WHVIRegression, cosine
+from whvi_tpu.train import TrainConfig, Trainer
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs1", type=int, default=500)
+    ap.add_argument("--epochs2", type=int, default=20000)
+    ap.add_argument("--lambda", dest="lam", type=float, default=2.5)
+    ap.add_argument("--sigma0", type=float, default=0.1)
+    ap.add_argument("--ignore-kl", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    X, y = polynomial_data(seed=args.seed)
+    net = WHVIRegression(
+        [
+            WHVILinear(1, 128, lambda_=args.lam, s_init="auto"),
+            cosine,
+            WHVILinear(128, 128, lambda_=args.lam, s_init="auto"),
+            cosine,
+            WHVILinear(128, 1, s_init="auto"),
+        ],
+        sigma0=args.sigma0,
+        eval_samples=64,
+    )
+    total = args.epochs1 + args.epochs2
+    cfg = TrainConfig(
+        epochs1=args.epochs1,
+        epochs2=args.epochs2,
+        ignore_kl=args.ignore_kl,
+        kl_warmup_steps=int(total * 2 * 0.4),
+        epochs_per_call=500,
+    )
+    trainer = Trainer(net, cfg)
+    state = trainer.init(jax.random.PRNGKey(args.seed))
+    t0 = time.time()
+    state, logs = trainer.fit(state, X, y)
+    wall = time.time() - t0
+
+    m = trainer.evaluate(state.params, X, y, jax.random.PRNGKey(1))
+
+    # in-between uncertainty: predictive stddev inside the gap vs on the
+    # observed support
+    xs_gap = np.linspace(0.7, 1.3, 50, dtype=np.float32).reshape(-1, 1)
+    xs_obs = np.linspace(-1.5, 0.3, 50, dtype=np.float32).reshape(-1, 1)
+    key = jax.random.PRNGKey(2)
+
+    def pred_sd(xs):
+        y_hat = net.predict(state.params, jnp.asarray(xs), key, 64)
+        _, sd = net.likelihood.predict(state.params["likelihood"], y_hat)
+        return float(jnp.mean(sd))
+
+    out = {
+        "experiment": "toy_polynomial",
+        "ignore_kl": args.ignore_kl,
+        "train_rmse": m["rmse"],
+        "train_mnll_per_point": m["mnll_per_point"],
+        "pred_sd_gap": pred_sd(xs_gap),
+        "pred_sd_observed": pred_sd(xs_obs),
+        "n_params": int(
+            sum(
+                int(np.prod(np.shape(l)))
+                for l in jax.tree.leaves(state.params)
+            )
+        ),
+        "wall_s": round(wall, 1),
+        "epochs_per_s": round(total / max(wall, 1e-9), 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,7 @@ class CategoricalLikelihood:
         self, params: dict, y: jax.Array, y_hat: jax.Array, n: jax.Array | int
     ) -> jax.Array:
         del params
+        y = y.reshape(-1).astype(jnp.int32)  # accept (B,) or (B, 1)
         logp = jax.nn.log_softmax(y_hat, axis=-1)  # (S, B, C)
         ll = jnp.take_along_axis(logp, y[None, :, None], axis=-1)
         S, B = y_hat.shape[0], y_hat.shape[1]
