@@ -18,6 +18,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _maybe_force_cpu():
+    import sys as _sys
+
+    if "--cpu" in _sys.argv:
+        _sys.argv.remove("--cpu")
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+
+_maybe_force_cpu()
+
 import argparse
 import json
 import time
@@ -35,17 +47,11 @@ def main():
     ap.add_argument("--force-cpu-devices", type=int, default=0)
     args = ap.parse_args()
 
-    if args.force_cpu_devices:
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={args.force_cpu_devices}"
-        )
-        os.environ["JAX_PLATFORMS"] = "cpu"
-
     import jax
     import jax.numpy as jnp
 
     if args.force_cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.force_cpu_devices)
         jax.config.update("jax_platforms", "cpu")
 
     from whvi_tpu.models import WHVILinear, WHVIRegression, relu

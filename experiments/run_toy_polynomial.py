@@ -14,6 +14,18 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+def _maybe_force_cpu():
+    import sys as _sys
+
+    if "--cpu" in _sys.argv:
+        _sys.argv.remove("--cpu")
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", "cpu")
+
+
+_maybe_force_cpu()
+
 import argparse
 import json
 import time

@@ -61,6 +61,12 @@ class ProtocolConfig:
     s_init: float | str = "auto"
     kl_warmup_frac: float = 0.2  # fraction of total steps; 0 disables
     scale_reference_exact: bool = False  # standardize on full X like ref
+    # Standardize targets for training and convert metrics back to the
+    # original units (RMSE scales by sd_y; total MNLL gains
+    # n * sum_d log sd_d). The reference trains on raw targets
+    # (evaluation.py:64 scales only X) — part of why its sigma0=1
+    # likelihood fights targets with sd ~15 on yacht.
+    normalize_y: bool = True
     seed: int = 0
 
 
@@ -132,14 +138,40 @@ def evaluate_bayesian_regression(
         split_dir = (
             os.path.join(ckpt_dir, f"split-{split}") if ckpt_dir else None
         )
+        if config.normalize_y:
+            mu_y = y_tr.mean(axis=0, keepdims=True)
+            sd_y = y_tr.std(axis=0, keepdims=True) + 1e-8
+            y_tr_fit = (y_tr - mu_y) / sd_y
+            y_te_fit = (y_te - mu_y) / sd_y
+        else:
+            y_tr_fit, y_te_fit = y_tr, y_te
         t0 = time.time()
         state, logs = trainer.fit(
-            state, X_tr, y_tr, ckpt_dir=split_dir, log_fn=log_fn
+            state, X_tr, y_tr_fit, ckpt_dir=split_dir, log_fn=log_fn
         )
         wall = time.time() - t0
         metrics = trainer.evaluate(
-            state.params, X_te, y_te, jax.random.PRNGKey(split)
+            state.params, X_te, y_te_fit, jax.random.PRNGKey(split)
         )
+        if config.normalize_y:
+            # convert normalized-unit metrics back to original units
+            import jax.numpy as jnp
+
+            key = jax.random.PRNGKey(split)
+            y_hat = jax.jit(
+                lambda p, x, k: net.predict(p, x, k, config.eval_samples)
+            )(state.params, jnp.asarray(X_te), key)
+            y_hat_orig = np.asarray(y_hat) * sd_y[None] + mu_y[None]
+            rmse = float(
+                np.sqrt(np.mean((y_hat_orig.mean(axis=0) - y_te) ** 2))
+            )
+            n_te = len(y_te)
+            log_sd_total = float(np.sum(np.log(sd_y)))
+            metrics = {
+                "rmse": rmse,
+                "mnll": metrics["mnll"] + n_te * log_sd_total,
+                "mnll_per_point": metrics["mnll_per_point"] + log_sd_total,
+            }
         entry = {
             "split": split,
             "rmse": metrics["rmse"],
