@@ -55,14 +55,21 @@ from whvi_tpu.train import TrainConfig, Trainer
 
 
 def accuracy(net, params, X, y, key, n_samples=16, batch=2048):
-    correct = 0
-    for i in range(0, len(X), batch):
-        xb = jnp.asarray(X[i : i + batch])
-        probs = net.likelihood.predict(
-            params["likelihood"],
-            net.predict(params, xb, key, n_samples),
+    pad = (-len(X)) % batch
+    Xp = np.pad(X, ((0, pad), (0, 0)))
+
+    @jax.jit
+    def batch_probs(params, xb, key):
+        return net.likelihood.predict(
+            params["likelihood"], net.predict(params, xb, key, n_samples)
         )
-        correct += int(jnp.sum(jnp.argmax(probs, -1) == jnp.asarray(y[i : i + batch])))
+
+    correct = 0
+    for i in range(0, len(Xp), batch):
+        probs = batch_probs(params, jnp.asarray(Xp[i : i + batch]), key)
+        pred = np.asarray(jnp.argmax(probs, -1))
+        yb = y[i : i + batch]
+        correct += int(np.sum(pred[: len(yb)] == yb))
     return correct / len(X)
 
 
