@@ -47,6 +47,14 @@ def main():
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--s-init", default="auto")
     ap.add_argument("--kl-warmup-frac", type=float, default=0.2)
+    ap.add_argument(
+        "--heteroscedastic",
+        action="store_true",
+        help="input-dependent noise head (BASELINE protein/kin8nm config)",
+    )
+    ap.add_argument("--no-normalize-y", action="store_true")
+    ap.add_argument("--sigma0", type=float, default=1.0)
+    ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -64,6 +72,10 @@ def main():
         seed=args.seed,
         s_init=args.s_init if args.s_init == "auto" else float(args.s_init),
         kl_warmup_frac=args.kl_warmup_frac,
+        heteroscedastic=args.heteroscedastic,
+        normalize_y=not args.no_normalize_y,
+        sigma0=args.sigma0,
+        hidden=tuple(args.hidden),
     )
     log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
     out = evaluate_bayesian_regression(

@@ -218,3 +218,27 @@ def test_gradients_flow_through_all_params():
     grads = jax.grad(loss)(p)
     for name in ("s1", "s2", "g_mu", "g_rho"):
         assert float(jnp.abs(grads[name]).max()) > 0.0, name
+
+
+def test_per_example_lrt_noise():
+    # per-example noise: same marginal mean as shared-noise LRT, but
+    # outputs differ across batch rows even for identical inputs
+    D, B = 16, 4
+    m = SquarePow2Matrix(D)
+    p = m.init(jax.random.PRNGKey(30))
+    x = jnp.tile(jax.random.normal(jax.random.PRNGKey(31), (1, D)), (B, 1))
+    key = jax.random.PRNGKey(32)
+    y_shared = m.apply(p, x, key, lrt=True, per_example_noise=False)
+    y_per = m.apply(p, x, key, lrt=True, per_example_noise=True)
+    # shared: identical rows for identical inputs
+    np.testing.assert_allclose(
+        np.asarray(y_shared[0]), np.asarray(y_shared[1]), rtol=1e-6
+    )
+    # per-example: rows differ
+    assert np.abs(np.asarray(y_per[0]) - np.asarray(y_per[1])).max() > 1e-4
+    # stacked path too
+    sm = StackedMatrix(5, 12)
+    ps = sm.init(jax.random.PRNGKey(33))
+    xs = jnp.tile(jax.random.normal(jax.random.PRNGKey(34), (1, 5)), (B, 1))
+    y_per_s = sm.apply(ps, xs, key, lrt=True, per_example_noise=True)
+    assert np.abs(np.asarray(y_per_s[0]) - np.asarray(y_per_s[1])).max() > 1e-5

@@ -61,6 +61,9 @@ class ProtocolConfig:
     s_init: float | str = "auto"
     kl_warmup_frac: float = 0.2  # fraction of total steps; 0 disables
     scale_reference_exact: bool = False  # standardize on full X like ref
+    # Heteroscedastic Gaussian likelihood: the net emits [mean, raw_sd]
+    # per target (BASELINE.json protein/kin8nm config).
+    heteroscedastic: bool = False
     # Standardize targets for training and convert metrics back to the
     # original units (RMSE scales by sd_y; total MNLL gains
     # n * sum_d log sd_d). The reference trains on raw targets
@@ -99,10 +102,11 @@ def evaluate_bayesian_regression(
         if not config.scale_reference_exact:
             X_tr, X_te = standardize(X_tr, X_te)
 
+        head_out = 2 * n_out if config.heteroscedastic else n_out
         net = WHVIRegression(
             mlp_layers(
                 n_in,
-                n_out,
+                head_out,
                 hidden=config.hidden,
                 lambda_hidden=config.lambda_hidden,
                 lambda_last=config.lambda_last,
@@ -112,6 +116,12 @@ def evaluate_bayesian_regression(
             train_samples=config.train_samples,
             eval_samples=config.eval_samples,
         )
+        if config.heteroscedastic:
+            from whvi_tpu.models import HeteroscedasticGaussianLikelihood
+
+            net = dataclasses.replace(
+                net, likelihood=HeteroscedasticGaussianLikelihood()
+            )
         # apply s_init to every WHVI layer
         net = dataclasses.replace(
             net,
@@ -153,6 +163,17 @@ def evaluate_bayesian_regression(
         metrics = trainer.evaluate(
             state.params, X_te, y_te_fit, jax.random.PRNGKey(split)
         )
+        if config.heteroscedastic and "rmse" not in metrics:
+            import jax.numpy as jnp
+
+            y_hat = jax.jit(
+                lambda p, x, k: net.predict(p, x, k, config.eval_samples)
+            )(state.params, jnp.asarray(X_te), jax.random.PRNGKey(split))
+            mean, _ = net.likelihood.split(y_hat)
+            pred = np.asarray(jnp.mean(mean, axis=0))
+            metrics["rmse"] = float(
+                np.sqrt(np.mean((pred - np.asarray(y_te_fit)) ** 2))
+            )
         if config.normalize_y:
             # convert normalized-unit metrics back to original units
             import jax.numpy as jnp
@@ -161,6 +182,8 @@ def evaluate_bayesian_regression(
             y_hat = jax.jit(
                 lambda p, x, k: net.predict(p, x, k, config.eval_samples)
             )(state.params, jnp.asarray(X_te), key)
+            if config.heteroscedastic:
+                y_hat, _ = net.likelihood.split(y_hat)
             y_hat_orig = np.asarray(y_hat) * sd_y[None] + mu_y[None]
             rmse = float(
                 np.sqrt(np.mean((y_hat_orig.mean(axis=0) - y_te) ** 2))

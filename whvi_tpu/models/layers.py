@@ -52,6 +52,9 @@ class WHVILinear:
     # S1/S2 init stddev: 0.01 reproduces the reference (weights.py:29-30);
     # "auto" = D**-0.5 variance-preserving (see weights.SquarePow2Matrix).
     s_init: float | str = 0.01
+    # independent LRT noise per batch element (variance-reduced; the
+    # reference shares one eps across the batch, weights.py:92)
+    per_example_noise: bool = False
 
     @property
     def matrix(self):
@@ -75,7 +78,13 @@ class WHVILinear:
         return self.matrix.kl(params)
 
     def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
-        y = self.matrix.apply(params, x, key, lrt=self.lrt)
+        y = self.matrix.apply(
+            params,
+            x,
+            key,
+            lrt=self.lrt,
+            per_example_noise=self.per_example_noise,
+        )
         if self.bias:
             y = y + params["bias"]
         return y

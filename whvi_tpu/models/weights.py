@@ -141,18 +141,27 @@ class SquarePow2Matrix:
         x: jax.Array,
         key: jax.Array,
         lrt: bool = True,
+        per_example_noise: bool = False,
     ) -> jax.Array:
         """``y = x @ W^T`` with ``W ~ q``, never materializing ``W``.
 
         LRT (default, reference weights.py:87-93):
           ``y = x W_bar(mu)^T + x W_bar(sigma * eps)^T`` with one
-          ``eps ~ N(0, I_D)`` per call (shared across the batch, matching
-          the reference's variance semantics).
+          ``eps ~ N(0, I_D)`` per call — shared across the batch,
+          matching the reference's variance semantics — or, with
+          ``per_example_noise``, an independent eps per batch element
+          (the variance-reduced form of the local reparameterization
+          trick; same marginals, lower-variance gradients).
         Explicit path: ``y = x W_bar(g)^T`` with ``g ~ q``.
         """
         s1, s2 = params["s1"], params["s2"]
         if lrt:
-            eps = jax.random.normal(key, params["g_mu"].shape, x.dtype)
+            shape = (
+                x.shape[:-1] + params["g_mu"].shape
+                if per_example_noise
+                else params["g_mu"].shape
+            )
+            eps = jax.random.normal(key, shape, x.dtype)
             mean = whvi_mul(s1, params["g_mu"], s2, x)
             noise = whvi_mul(s1, _g_sigma(params["g_rho"]) * eps, s2, x)
             return mean + noise
@@ -228,6 +237,7 @@ class StackedMatrix:
         x: jax.Array,
         key: jax.Array,
         lrt: bool = True,
+        per_example_noise: bool = False,
     ) -> jax.Array:
         """``(..., n_in) -> (..., n_out)``: pad, all blocks at once, truncate
         (reference forward, src/weights.py:182-208)."""
@@ -235,7 +245,12 @@ class StackedMatrix:
         xp = self._pad(x)[..., None, :]  # (..., 1, D_in) -> bcast over stack
         s1, s2 = params["s1"], params["s2"]  # (stack, D_in)
         if lrt:
-            eps = jax.random.normal(key, params["g_mu"].shape, x.dtype)
+            shape = (
+                x.shape[:-1] + params["g_mu"].shape
+                if per_example_noise
+                else params["g_mu"].shape
+            )
+            eps = jax.random.normal(key, shape, x.dtype)
             mean = whvi_mul(s1, params["g_mu"], s2, xp)
             noise = whvi_mul(s1, _g_sigma(params["g_rho"]) * eps, s2, xp)
             out = mean + noise  # (..., stack, D_in)
@@ -334,8 +349,9 @@ class ColumnMatrix:
         x: jax.Array,
         key: jax.Array,
         lrt: bool = False,
+        per_example_noise: bool = False,
     ) -> jax.Array:
-        del lrt  # column path is always explicit-sample (reference :250)
+        del lrt, per_example_noise  # column path: explicit sample (ref :250)
         col = self.sample_column(params, key)
         if self.transposed:
             # (..., n) @ (n, 1) -> (..., 1)
