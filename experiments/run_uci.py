@@ -52,7 +52,7 @@ def main():
         action="store_true",
         help="input-dependent noise head (BASELINE protein/kin8nm config)",
     )
-    ap.add_argument("--no-normalize-y", action="store_true")
+    ap.add_argument("--normalize-y", action="store_true")
     ap.add_argument("--sigma0", type=float, default=1.0)
     ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
     ap.add_argument("--quiet", action="store_true")
@@ -73,7 +73,7 @@ def main():
         s_init=args.s_init if args.s_init == "auto" else float(args.s_init),
         kl_warmup_frac=args.kl_warmup_frac,
         heteroscedastic=args.heteroscedastic,
-        normalize_y=not args.no_normalize_y,
+        normalize_y=args.normalize_y,
         sigma0=args.sigma0,
         hidden=tuple(args.hidden),
     )

@@ -162,16 +162,17 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
     """
     D = x.shape[-1]
     factors = fwht_factors(D, max_factor)
+    # accumulate in float32 for low-precision inputs, else in the input
+    # dtype (so float64 oracles/grad-checks stay exact)
+    acc = jnp.float32 if x.dtype.itemsize <= 4 else x.dtype
     if len(factors) == 1:
-        H = build_H(D, jnp.float32)
-        return jnp.matmul(x, H, preferred_element_type=jnp.float32).astype(
-            x.dtype
-        )
+        H = build_H(D, acc)
+        return jnp.matmul(x, H, preferred_element_type=acc).astype(x.dtype)
     batch = x.shape[:-1]
     x = x.reshape(batch + factors)
     nb = len(batch)
     for i, f in enumerate(factors):
-        H = build_H(f, jnp.float32)
+        H = build_H(f, acc)
         axis = nb + i
         # Contract axis `axis` with H; tensordot puts the contracted axis
         # last, so move it back to keep the logical index layout.
@@ -180,7 +181,7 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
                 x,
                 H,
                 dimension_numbers=(((axis,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=acc,
             ).astype(x.dtype),
             -1,
             axis,

@@ -63,10 +63,11 @@ def whvi_dense(s1: jax.Array, u: jax.Array, s2: jax.Array) -> jax.Array:
     s2`` may carry leading batch axes.
     """
     D = s1.shape[-1]
-    H = build_H(D, jnp.float32)
+    acc = jnp.float32 if s1.dtype.itemsize <= 4 else s1.dtype
+    H = build_H(D, acc)
     inner = u[..., :, None] * H * s2[..., None, :]  # diag(u) H diag(s2)
     return s1[..., :, None] * jnp.matmul(
-        H, inner, preferred_element_type=jnp.float32
+        H, inner, preferred_element_type=acc
     ).astype(s1.dtype)
 
 
