@@ -218,3 +218,33 @@ def test_whvi_mul_stacked_broadcast():
         np.testing.assert_allclose(
             np.asarray(got[:, s]), np.asarray(oracle), rtol=1e-4, atol=1e-4
         )
+
+
+def test_matmul_diag_helpers():
+    # oracle = dense diag matmul (reference test/utils.py:8-20 pattern)
+    from whvi_tpu.ops import matmul_diag_left, matmul_diag_right
+
+    key = jax.random.PRNGKey(30)
+    d = jax.random.normal(key, (5,))
+    A = jax.random.normal(jax.random.PRNGKey(31), (5, 7))
+    np.testing.assert_allclose(
+        np.asarray(matmul_diag_left(d, A)),
+        np.diag(np.asarray(d)) @ np.asarray(A),
+        rtol=1e-6,
+    )
+    d2 = jax.random.normal(jax.random.PRNGKey(32), (7,))
+    np.testing.assert_allclose(
+        np.asarray(matmul_diag_right(A, d2)),
+        np.asarray(A) @ np.diag(np.asarray(d2)),
+        rtol=1e-6,
+    )
+    # batched
+    db = jax.random.normal(jax.random.PRNGKey(33), (3, 5))
+    Ab = jax.random.normal(jax.random.PRNGKey(34), (3, 5, 7))
+    out = matmul_diag_left(db, Ab)
+    for i in range(3):
+        np.testing.assert_allclose(
+            np.asarray(out[i]),
+            np.diag(np.asarray(db[i])) @ np.asarray(Ab[i]),
+            rtol=1e-6,
+        )

@@ -5,6 +5,8 @@ from whvi_tpu.ops.hadamard import (
     fwht_kron,
     is_pow_of_2,
     kl_diag_normal,
+    matmul_diag_left,
+    matmul_diag_right,
     next_pow_of_2,
 )
 from whvi_tpu.ops.whvi_op import whvi_dense, whvi_mul, whvi_mul_dense_oracle
@@ -16,6 +18,8 @@ __all__ = [
     "fwht_kron",
     "is_pow_of_2",
     "kl_diag_normal",
+    "matmul_diag_left",
+    "matmul_diag_right",
     "next_pow_of_2",
     "whvi_dense",
     "whvi_mul",

@@ -54,7 +54,21 @@ __all__ = [
     "fwht_butterfly",
     "fwht_kron",
     "kl_diag_normal",
+    "matmul_diag_left",
+    "matmul_diag_right",
 ]
+
+
+def matmul_diag_left(d, A):
+    """``diag(d) @ A`` without materializing the diagonal matrix
+    (reference src/utils.py:4-13). Pure broadcasting; kept as a named
+    helper for API parity and readability at call sites."""
+    return d[..., :, None] * A
+
+
+def matmul_diag_right(A, d):
+    """``A @ diag(d)`` via broadcasting (reference src/utils.py:16-23)."""
+    return A * d[..., None, :]
 
 
 def is_pow_of_2(n: int) -> bool:
