@@ -87,14 +87,22 @@ def main():
         state = shard_state(trainer.init(jax.random.PRNGKey(0)))
         xb, yb = shard_batch(X, y)
 
-        # warm
+        # All steps of a measurement run inside ONE compiled lax.scan
+        # (step.scan), and the sync is a host fetch of the final loss —
+        # block_until_ready alone does not reliably block on remote
+        # backends. Difference timing (2N vs N) cancels the per-call
+        # dispatch/fetch latency.
+        def run(k, state):
+            t0 = time.perf_counter()
+            state, metrics = step.scan(state, xb, yb, args.batch, k)
+            float(metrics["loss"])  # host sync
+            return time.perf_counter() - t0, state
+
+        run(args.steps, state)  # compile both lengths
         state, _ = step(state, xb, yb, args.batch)
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            state, metrics = step(state, xb, yb, args.batch)
-        jax.block_until_ready(metrics)
-        dt = (time.perf_counter() - t0) / args.steps
+        t1, state = run(args.steps, state)
+        t2, state = run(2 * args.steps, state)
+        dt = max(t2 - t1, 1e-9) / args.steps
         print(
             json.dumps(
                 {

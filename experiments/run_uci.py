@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--normalize-y", action="store_true")
     ap.add_argument("--sigma0", type=float, default=1.0)
     ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
+    ap.add_argument("--train-samples", type=int, default=1)
+    ap.add_argument("--per-example-noise", action="store_true")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -76,6 +78,8 @@ def main():
         normalize_y=args.normalize_y,
         sigma0=args.sigma0,
         hidden=tuple(args.hidden),
+        train_samples=args.train_samples,
+        per_example_noise=args.per_example_noise,
     )
     log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
     out = evaluate_bayesian_regression(

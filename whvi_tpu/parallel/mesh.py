@@ -118,7 +118,10 @@ def make_sharded_train_step(
 
     Returns ``(step_fn, shard_state, shard_batch)``:
       - ``step_fn(state, x, y, n) -> (state, metrics)`` — donate-safe,
-        compiled with replicated params and data-sharded batches;
+        compiled with replicated params and data-sharded batches; its
+        ``.scan(state, x, y, n, k)`` attribute runs ``k`` steps inside
+        one compiled ``lax.scan`` (one device dispatch — essential for
+        honest throughput measurement on remote backends);
       - ``shard_state(state)`` / ``shard_batch(x, y)`` — device_put
         helpers applying the matching shardings.
     """
@@ -145,6 +148,21 @@ def make_sharded_train_step(
 
     jitted = jax.jit(
         step_fn,
+        in_shardings=(replicated, batch_sharded, batch_sharded, None),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+
+    def multi_step_fn(state, x, y, n, k):
+        def body(s, _):
+            return step_fn(s, x, y, n)
+
+        state, metrics = jax.lax.scan(body, state, None, length=k)
+        return state, jax.tree.map(lambda a: a[-1], metrics)
+
+    jitted.scan = jax.jit(
+        multi_step_fn,
+        static_argnames=("k",),
         in_shardings=(replicated, batch_sharded, batch_sharded, None),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
