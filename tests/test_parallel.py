@@ -107,3 +107,28 @@ def test_sharded_grads_match_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
         )
+
+
+def test_scan_steps_matches_repeated_steps():
+    # step.scan(k) must equal k sequential step() calls exactly
+    net = _net()
+    X, y = _data(n=16)
+    mesh = make_mesh(data=2, sample=2)
+    tx = decayed_adam()
+    step, shard_state, shard_batch = make_sharded_train_step(
+        net, tx, mesh, n_samples=4
+    )
+    trainer = Trainer(net)
+    s_a = shard_state(trainer.init(jax.random.PRNGKey(5)))
+    s_b = shard_state(trainer.init(jax.random.PRNGKey(5)))
+    xb, yb = shard_batch(X, y)
+    for _ in range(4):
+        s_a, m_a = step(s_a, xb, yb, 16)
+    s_b, m_b = step.scan(s_b, xb, yb, 16, 4)
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )

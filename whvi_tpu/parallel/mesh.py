@@ -22,9 +22,6 @@ nothing here is host-count-specific.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 import numpy as np

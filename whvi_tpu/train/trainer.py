@@ -26,7 +26,6 @@ shuffle; set ``shuffle=False`` for bit-faithful batch order).
 from __future__ import annotations
 
 import dataclasses
-import math
 import os
 import time
 from functools import partial
