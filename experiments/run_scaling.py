@@ -98,8 +98,8 @@ def main():
             float(metrics["loss"])  # host sync
             return time.perf_counter() - t0, state
 
-        run(args.steps, state)  # compile both lengths
-        state, _ = step(state, xb, yb, args.batch)
+        _, state = run(args.steps, state)  # compile k
+        _, state = run(2 * args.steps, state)  # compile 2k
         t1, state = run(args.steps, state)
         t2, state = run(2 * args.steps, state)
         dt = max(t2 - t1, 1e-9) / args.steps

@@ -26,19 +26,19 @@ def cubic_data(seed: int = 0, n: int = 200, n_train: int = 150):
     return (x[tr], y[tr].astype(np.float32)), (x[te], y[te].astype(np.float32))
 
 
-# Degree-8 polynomial of the paper's toy function: f(x) = 0.50 - 3.45 x
-# + 1.14 x^2 + 4.36 x^3 - ... (report/model-testing.tex:16 prints the
-# leading terms; the notebook solves a Vandermonde system through the
-# anchor points below, which we reproduce independently).
-_ANCHORS_X = np.array([-2.0, -1.5, -1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0])
-_ANCHORS_Y = np.array([2.0, -1.0, 1.5, 0.0, 0.5, -1.0, 0.0, 2.0, -1.5])
+# Degree-8 polynomial of the paper's toy function, f(x) = 0.50 - 3.45x
+# + 1.14x^2 + 4.36x^3 - 0.93x^4 - 1.77x^5 + 0.39x^6 + 0.22x^7 - 0.06x^8
+# (report/model-testing.tex:16). The reference notebook (cell 3) solves a
+# Vandermonde system through these anchor points, reproduced here.
+_ANCHORS_X = np.array([-2.0, -1.5, -0.8, 0.0, 0.5, 1.4, 2.0, 2.7, 3.0])
+_ANCHORS_Y = np.array([1.2, 1.5, 2.0, 0.5, -0.5, 1.2, 0.0, 1.0, 1.3])
 POLY_COEFFS = np.linalg.solve(
-    np.vander(_ANCHORS_X, 9, increasing=True), _ANCHORS_Y
+    np.vander(_ANCHORS_X, len(_ANCHORS_X)), _ANCHORS_Y
 )
 
 
 def polynomial_f(x: np.ndarray) -> np.ndarray:
-    return np.polyval(POLY_COEFFS[::-1], x)
+    return np.polyval(POLY_COEFFS, x)
 
 
 def polynomial_data(
@@ -46,11 +46,13 @@ def polynomial_data(
     n: int = 128,
     noise_var: float = float(np.exp(-3.0)),
     gap: tuple[float, float] = (0.6, 1.4),
-    x_range: tuple[float, float] = (-2.0, 2.0),
+    x_range: tuple[float, float] = (-1.0, 2.0),
 ):
-    """n points in ``x_range`` excluding the ``gap`` interval, with
-    Gaussian observation noise — the paper's in-between-uncertainty
-    setup."""
+    """n points from U(x_range) excluding the ``gap`` interval, with
+    Gaussian observation noise — the paper's in-between-uncertainty setup
+    (reference notebook cell 3: x ~ U(-1, 2), gap (0.6, 1.4), noise
+    N(0, exp(-3)); it keeps however many of 128 draws survive the gap
+    filter, we draw until exactly ``n`` survive)."""
     rng = np.random.RandomState(seed)
     xs = []
     while len(xs) < n:
