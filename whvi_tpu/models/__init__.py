@@ -12,7 +12,12 @@ from whvi_tpu.models.likelihoods import (
     GaussianLikelihood,
     HeteroscedasticGaussianLikelihood,
 )
-from whvi_tpu.models.networks import WHVINetwork, WHVIRegression, mlp_layers
+from whvi_tpu.models.networks import (
+    WHVIClassification,
+    WHVINetwork,
+    WHVIRegression,
+    mlp_layers,
+)
 from whvi_tpu.models.weights import (
     ColumnMatrix,
     SquarePow2Matrix,
@@ -30,6 +35,7 @@ __all__ = [
     "SquarePow2Matrix",
     "StackedMatrix",
     "WHVILinear",
+    "WHVIClassification",
     "WHVINetwork",
     "WHVIRegression",
     "cosine",

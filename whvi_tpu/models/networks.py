@@ -27,7 +27,12 @@ from typing import Any, Sequence
 import jax
 import jax.numpy as jnp
 
-__all__ = ["WHVINetwork", "WHVIRegression", "mlp_layers"]
+__all__ = [
+    "WHVINetwork",
+    "WHVIRegression",
+    "WHVIClassification",
+    "mlp_layers",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,6 +161,24 @@ def mlp_layers(
         layers.append(act)
     layers.append(WHVILinear(dims[-1], n_out, lambda_=lambda_last))
     return layers
+
+
+def WHVIClassification(
+    layers,
+    train_samples: int = 1,
+    eval_samples: int = 16,
+) -> WHVINetwork:
+    """Convenience constructor: network + categorical (softmax)
+    likelihood over logits — the Bayesian-classifier configuration
+    (BASELINE.json MNIST config); no reference counterpart."""
+    from whvi_tpu.models.likelihoods import CategoricalLikelihood
+
+    return WHVINetwork(
+        layers=tuple(layers),
+        likelihood=CategoricalLikelihood(),
+        train_samples=train_samples,
+        eval_samples=eval_samples,
+    )
 
 
 def WHVIRegression(

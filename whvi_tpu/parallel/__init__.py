@@ -1,7 +1,14 @@
+from whvi_tpu.parallel.distributed import init_distributed, is_multi_host
 from whvi_tpu.parallel.mesh import (
     make_mesh,
     make_sharded_train_step,
     sharded_loss_fn,
 )
 
-__all__ = ["make_mesh", "make_sharded_train_step", "sharded_loss_fn"]
+__all__ = [
+    "init_distributed",
+    "is_multi_host",
+    "make_mesh",
+    "make_sharded_train_step",
+    "sharded_loss_fn",
+]
