@@ -1,0 +1,90 @@
+"""UCI evaluation-protocol tests (tiny budgets; the full protocol is
+exercised by experiments/run_uci.py)."""
+
+import numpy as np
+import jax
+import pytest
+
+from whvi_tpu.evaluation import (
+    ProtocolConfig,
+    evaluate_bayesian_regression,
+    standardize,
+)
+
+
+def _data(n=80, d=5, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, d).astype(np.float32)
+    y = (X[:, :1] * 2 + 0.1 * rng.randn(n, 1)).astype(np.float32)
+    return X, y
+
+
+def test_standardize():
+    X, _ = _data()
+    Xs = standardize(X)
+    np.testing.assert_allclose(Xs.mean(axis=0), 0.0, atol=1e-5)
+    np.testing.assert_allclose(Xs.std(axis=0), 1.0, atol=1e-4)
+    Xtr, Xte = standardize(X[:60], X[60:])
+    # test transformed with train statistics
+    mu, sd = X[:60].mean(0), X[:60].std(0)
+    np.testing.assert_allclose(
+        Xte, (X[60:] - mu) / (sd + 1e-8), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_protocol_runs_and_aggregates():
+    X, y = _data()
+    cfg = ProtocolConfig(
+        n_splits=2,
+        epochs1=5,
+        epochs2=15,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+    )
+    out = evaluate_bayesian_regression(X, y, cfg)
+    assert len(out["splits"]) == 2
+    for k in ("rmse_mean", "rmse_sd", "mnll_mean", "mnll_per_point_mean"):
+        assert np.isfinite(out[k]), k
+
+
+def test_protocol_normalize_y_metrics_in_original_units():
+    X, y = _data()
+    y = y * 50.0 + 100.0  # large-scale targets
+    cfg = ProtocolConfig(
+        n_splits=1,
+        epochs1=0,
+        epochs2=30,
+        hidden=(8,),
+        normalize_y=True,
+        kl_warmup_frac=0.0,
+    )
+    out = evaluate_bayesian_regression(X, y, cfg)
+    # RMSE must be in original units: a normalized-unit slip would be ~1
+    assert out["rmse_mean"] > 5.0
+
+
+def test_protocol_heteroscedastic():
+    X, y = _data()
+    cfg = ProtocolConfig(
+        n_splits=1,
+        epochs1=0,
+        epochs2=20,
+        hidden=(8,),
+        heteroscedastic=True,
+        kl_warmup_frac=0.0,
+    )
+    out = evaluate_bayesian_regression(X, y, cfg)
+    assert np.isfinite(out["rmse_mean"])
+    assert np.isfinite(out["mnll_mean"])
+
+
+def test_protocol_multi_output():
+    rng = np.random.RandomState(1)
+    X = rng.randn(60, 4).astype(np.float32)
+    y = np.concatenate([X[:, :1], -X[:, 1:2]], axis=1).astype(np.float32)
+    cfg = ProtocolConfig(
+        n_splits=1, epochs1=0, epochs2=10, hidden=(8,), kl_warmup_frac=0.0
+    )
+    out = evaluate_bayesian_regression(X, y, cfg)
+    assert np.isfinite(out["rmse_mean"])
