@@ -137,3 +137,59 @@ def test_vi_vs_hmc_moments_linear_gaussian():
     np.testing.assert_allclose(
         np.asarray(s["g"]), np.sqrt(np.diag(cov)), rtol=0.3
     )
+
+
+def test_nuts_recovers_gaussian_moments():
+    from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample
+
+    mean = jnp.array([1.0, -2.0, 0.5])
+    sd = jnp.array([0.5, 2.0, 1.0])
+
+    def logp(q):
+        return jnp.sum(-0.5 * jnp.square((q["x"] - mean) / sd))
+
+    cfg = NUTSConfig(n_samples=1500, n_warmup=500, max_tree_depth=5)
+    samples, stats = nuts_sample(
+        logp, {"x": jnp.zeros(3)}, jax.random.PRNGKey(7), cfg
+    )
+    m, s = moments(samples)
+    assert float(stats["accept_stat"]) > 0.4
+    np.testing.assert_allclose(np.asarray(m["x"]), np.asarray(mean), atol=0.2)
+    np.testing.assert_allclose(np.asarray(s["x"]), np.asarray(sd), rtol=0.3)
+
+
+def test_nuts_correlated_gaussian():
+    from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample
+
+    cov = jnp.array([[1.0, 0.9], [0.9, 1.0]])
+    prec = jnp.linalg.inv(cov)
+
+    def logp(q):
+        return -0.5 * q["x"] @ prec @ q["x"]
+
+    cfg = NUTSConfig(n_samples=2000, n_warmup=500, max_tree_depth=6)
+    samples, _ = nuts_sample(
+        logp, {"x": jnp.zeros(2)}, jax.random.PRNGKey(8), cfg
+    )
+    emp_cov = np.cov(np.asarray(samples["x"]).T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.25)
+
+
+def test_nuts_on_whvi_posterior():
+    from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample
+
+    rng = np.random.RandomState(2)
+    X = rng.randn(30, 4).astype(np.float32)
+    y = (X.sum(axis=1, keepdims=True) + 0.1 * rng.randn(30, 1)).astype(
+        np.float32
+    )
+    net = WHVIRegression(
+        [WHVILinear(4, 8, lambda_=1.0), relu, WHVILinear(8, 1, lambda_=1.0)],
+    )
+    params = net.init(jax.random.PRNGKey(9))
+    logp, init = make_whvi_g_log_posterior(net, params, X, y)
+    cfg = NUTSConfig(n_samples=100, n_warmup=100, max_tree_depth=4)
+    samples, stats = nuts_sample(logp, init, jax.random.PRNGKey(10), cfg)
+    m, s = moments(samples)
+    for i in init:
+        assert np.all(np.isfinite(np.asarray(m[i])))

@@ -1,0 +1,206 @@
+"""No-U-Turn Sampler (static-unrolled, multinomial variant).
+
+NUTS (Hoffman & Gelman 2014) with the modern multinomial state
+selection (as in Stan), restructured for XLA: the doubling tree of each
+draw is *statically unrolled* to ``max_tree_depth`` — every draw costs
+exactly ``2^max_tree_depth - 1`` leapfrog steps and U-turn/divergence
+termination is applied by masking rather than early exit. This trades
+the dynamic-trajectory compute savings for a fixed compute graph with
+no data-dependent control flow — the standard accelerator-friendly
+formulation (SURVEY.md section 7 "no data-dependent Python control flow
+inside jit").
+
+Semantics per draw:
+- repeatedly double the trajectory in a random direction;
+- a doubling whose subtree contains an internal U-turn or divergence is
+  discarded (its proposal cannot be selected), and expansion stops;
+- otherwise the new half's proposal replaces the current one with
+  probability ``w_new / (w_old + w_new)`` (multinomial), and expansion
+  stops when the full trajectory U-turns.
+
+Step size is dual-averaged during warmup exactly as in mcmc.hmc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["NUTSConfig", "nuts_sample"]
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTSConfig:
+    n_samples: int = 1000
+    n_warmup: int = 500
+    max_tree_depth: int = 6
+    init_step_size: float = 1e-2
+    target_accept: float = 0.8
+    adapt: bool = True
+
+
+def _flat(tree):
+    leaves, treedef = jax.tree.flatten(tree)
+    sizes = [l.size for l in leaves]
+    shapes = [l.shape for l in leaves]
+    vec = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    def unflat(v):
+        out, off = [], 0
+        for s, sh in zip(sizes, shapes):
+            out.append(v[off : off + s].reshape(sh))
+            off += s
+        return jax.tree.unflatten(treedef, out)
+    return vec, unflat
+
+
+def nuts_sample(
+    log_prob_fn: Callable[[Any], jax.Array],
+    init_position: Any,
+    key: jax.Array,
+    config: NUTSConfig = NUTSConfig(),
+):
+    """Run NUTS; returns (samples, stats) like ``hmc_sample``."""
+    cfg = config
+    q0_vec, unflat = _flat(init_position)
+    dim = q0_vec.size
+
+    def logp_vec(qv):
+        return log_prob_fn(unflat(qv))
+
+    grad_vec = jax.grad(logp_vec)
+
+    def leapfrog(q, p, eps):
+        p = p + 0.5 * eps * grad_vec(q)
+        q = q + eps * p
+        p = p + 0.5 * eps * grad_vec(q)
+        return q, p
+
+    def uturn(q_minus, q_plus, p_minus, p_plus):
+        dq = q_plus - q_minus
+        return (jnp.dot(dq, p_minus) < 0.0) | (jnp.dot(dq, p_plus) < 0.0)
+
+    NEG_INF = jnp.asarray(-jnp.inf)
+
+    def build_tree(depth, q, p, direction, eps, h0, key):
+        """Statically-unrolled subtree of 2^depth leapfrog steps.
+
+        Returns (q_minus, p_minus, q_plus, p_plus, q_prop, log_w,
+        turned). ``q/p`` is the trajectory edge to grow from (already in
+        ``direction``'s frame: we integrate with signed eps, so minus/
+        plus here are 'start edge'/'far edge')."""
+        if depth == 0:
+            q1, p1 = leapfrog(q, p, direction * eps)
+            h1 = -logp_vec(q1) + 0.5 * jnp.dot(p1, p1)
+            log_w = h0 - h1  # multinomial weight relative to start energy
+            diverged = ~jnp.isfinite(log_w) | (log_w < -1000.0)
+            log_w = jnp.where(diverged, NEG_INF, log_w)
+            return q1, p1, q1, p1, q1, log_w, diverged
+        k1, k2, k3 = jax.random.split(key, 3)
+        (qm, pm, qp, pp, prop_l, lw_l, turn_l) = build_tree(
+            depth - 1, q, p, direction, eps, h0, k1
+        )
+        # grow from the far edge of the left subtree
+        (qm2, pm2, qp2, pp2, prop_r, lw_r, turn_r) = build_tree(
+            depth - 1, qp, pp, direction, eps, h0, k2
+        )
+        total = jnp.logaddexp(lw_l, lw_r)
+        take_right = (
+            jnp.log(jax.random.uniform(k3)) < lw_r - total
+        ) & ~turn_r
+        prop = jnp.where(take_right, prop_r, prop_l)
+        # U-turn across the combined subtree (orient by direction sign)
+        turned_here = uturn(
+            jnp.where(direction > 0, qm, qp2),
+            jnp.where(direction > 0, qp2, qm),
+            jnp.where(direction > 0, pm, pp2),
+            jnp.where(direction > 0, pp2, pm),
+        )
+        turned = turn_l | turn_r | turned_here
+        log_w = jnp.where(turn_r, lw_l, total)
+        return qm, pm, qp2, pp2, prop, log_w, turned
+
+    mu = jnp.log(10.0 * cfg.init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    def draw(carry, inp):
+        q, da_state, i = carry
+        key = inp
+        k_mom, k_dirs, k_tree, k_acc = jax.random.split(key, 4)
+        p0 = jax.random.normal(k_mom, (dim,))
+        h0 = -logp_vec(q) + 0.5 * jnp.dot(p0, p0)
+        log_eps, log_eps_bar, h_bar = da_state
+        eps = jnp.exp(log_eps)
+
+        # trajectory state
+        q_minus, p_minus = q, p0
+        q_plus, p_plus = q, p0
+        prop = q
+        log_w = jnp.zeros(())  # weight of the initial point
+        stopped = jnp.zeros((), bool)
+        sum_alpha = jnp.zeros(())
+        n_alpha = jnp.zeros(())
+
+        dirs = jax.random.bernoulli(k_dirs, 0.5, (cfg.max_tree_depth,))
+        tree_keys = jax.random.split(k_tree, cfg.max_tree_depth)
+        acc_keys = jax.random.split(k_acc, cfg.max_tree_depth)
+        for j in range(cfg.max_tree_depth):
+            direction = jnp.where(dirs[j], 1.0, -1.0)
+            edge_q = jnp.where(direction > 0, q_plus, q_minus)
+            edge_p = jnp.where(direction > 0, p_plus, p_minus)
+            (qm, pm, qp, pp, prop_j, lw_j, turn_j) = build_tree(
+                j, edge_q, edge_p, direction, eps, h0, tree_keys[j]
+            )
+            # mean acceptance statistic for dual averaging (per doubling)
+            alpha_j = jnp.minimum(1.0, jnp.exp(lw_j - jnp.log(2.0**j)))
+            sum_alpha = sum_alpha + jnp.where(stopped, 0.0, alpha_j)
+            n_alpha = n_alpha + jnp.where(stopped, 0.0, 1.0)
+            usable = ~stopped & ~turn_j
+            # multinomial merge of the new half
+            take = (
+                jnp.log(jax.random.uniform(acc_keys[j]))
+                < lw_j - jnp.logaddexp(log_w, lw_j)
+            ) & usable
+            prop = jnp.where(take, prop_j, prop)
+            log_w = jnp.where(usable, jnp.logaddexp(log_w, lw_j), log_w)
+            # update edges only if the doubling was kept
+            q_minus = jnp.where(usable & (direction < 0), qp, q_minus)
+            p_minus = jnp.where(usable & (direction < 0), pp, p_minus)
+            q_plus = jnp.where(usable & (direction > 0), qp, q_plus)
+            p_plus = jnp.where(usable & (direction > 0), pp, p_plus)
+            full_turn = uturn(q_minus, q_plus, p_minus, p_plus)
+            stopped = stopped | turn_j | full_turn
+
+        accept_stat = jnp.where(n_alpha > 0, sum_alpha / n_alpha, 0.0)
+
+        # dual averaging
+        in_warmup = i < cfg.n_warmup
+        t = i.astype(jnp.float32) + 1.0
+        h_bar_new = (1.0 - 1.0 / (t + t0)) * h_bar + (
+            cfg.target_accept - accept_stat
+        ) / (t + t0)
+        log_eps_new = mu - jnp.sqrt(t) / gamma * h_bar_new
+        w = t ** (-kappa)
+        log_eps_bar_new = w * log_eps_new + (1.0 - w) * log_eps_bar
+        da_state = jax.lax.cond(
+            in_warmup & cfg.adapt,
+            lambda: (log_eps_new, log_eps_bar_new, h_bar_new),
+            lambda: (log_eps_bar, log_eps_bar, h_bar),
+        )
+        return (prop, da_state, i + 1), (prop, accept_stat)
+
+    total = cfg.n_warmup + cfg.n_samples
+    keys = jax.random.split(key, total)
+    da0 = (jnp.log(cfg.init_step_size), jnp.log(cfg.init_step_size), 0.0)
+    (_, da_final, _), (qs, alphas) = jax.lax.scan(
+        draw, (q0_vec, da0, jnp.asarray(0, jnp.int32)), keys
+    )
+    qs = qs[cfg.n_warmup :]
+    samples = jax.vmap(unflat)(qs)
+    stats = {
+        "accept_stat": jnp.mean(alphas[cfg.n_warmup :]),
+        "step_size": jnp.exp(da_final[1]),
+    }
+    return samples, stats
