@@ -45,7 +45,7 @@ def main():
     cfg = TrainConfig(
         epochs1=0,
         epochs2=args.epochs,
-        epochs_per_call=max(1, args.epochs // 4),
+        epochs_per_call=args.epochs,  # whole run in one scan dispatch
         kl_warmup_steps=1000,
     )
     trainer = Trainer(net, cfg)

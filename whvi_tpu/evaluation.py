@@ -73,6 +73,9 @@ class ProtocolConfig:
     normalize_y: bool = False
     # independent LRT noise per batch element (variance-reduced)
     per_example_noise: bool = False
+    # drop the KL term entirely (MAP-with-noise ablation; reference
+    # loss(..., ignore_kl) switch)
+    ignore_kl: bool = False
     seed: int = 0
 
 
@@ -146,6 +149,7 @@ def evaluate_bayesian_regression(
             epochs1=config.epochs1,
             epochs2=config.epochs2,
             checkpoint_every=config.checkpoint_every,
+            ignore_kl=config.ignore_kl,
             kl_warmup_steps=int(
                 total * steps_per_epoch * config.kl_warmup_frac
             ),
