@@ -20,6 +20,7 @@ from whvi_tpu.models.networks import (
 )
 from whvi_tpu.models.weights import (
     ColumnMatrix,
+    PaddedSquareMatrix,
     SquarePow2Matrix,
     StackedMatrix,
     setup_dimensions,
@@ -31,6 +32,7 @@ __all__ = [
     "ColumnMatrix",
     "Dense",
     "GaussianLikelihood",
+    "PaddedSquareMatrix",
     "HeteroscedasticGaussianLikelihood",
     "SquarePow2Matrix",
     "StackedMatrix",

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from whvi_tpu.models.weights import (
     ColumnMatrix,
+    PaddedSquareMatrix,
     SquarePow2Matrix,
     StackedMatrix,
 )
@@ -55,6 +56,11 @@ class WHVILinear:
     # independent LRT noise per batch element (variance-reduced; the
     # reference shares one eps across the batch, weights.py:92)
     per_example_noise: bool = False
+    # non-square construction: "stack" = vertical stack of square blocks
+    # (reference semantics, weights.py:111-208); "pad" = one padded
+    # square block with full mixing (higher capacity for very
+    # rectangular shapes, see weights.PaddedSquareMatrix)
+    rect_mode: str = "stack"
 
     @property
     def matrix(self):
@@ -66,6 +72,10 @@ class WHVILinear:
             )
         if self.n_in == self.n_out and is_pow_of_2(self.n_in):
             return SquarePow2Matrix(self.n_in, self.lambda_, self.s_init)
+        if self.rect_mode == "pad":
+            return PaddedSquareMatrix(
+                self.n_in, self.n_out, self.lambda_, self.s_init
+            )
         return StackedMatrix(self.n_in, self.n_out, self.lambda_, self.s_init)
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
