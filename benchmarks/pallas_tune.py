@@ -51,7 +51,7 @@ def k_cur(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
     t = t * ut_ref[:]
     t = _dotg(t, ha_ref[:], 2)
     t = _dotg(t, hb_ref[:], 1)
-    y_ref[:] = t * s1_ref[:]
+    y_ref[:] = (t * s1_ref[:]).astype(y_ref.dtype)
 
 
 def k_swap(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
@@ -63,7 +63,7 @@ def k_swap(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
     t = _dotg(t, ha_ref[:], 2)          # (TB, b, a)
     t = jnp.swapaxes(t, 1, 2)           # (TB, a, b)
     t = _dotg(t, hb_ref[:], 2)
-    y_ref[:] = t * s1_ref[:]
+    y_ref[:] = (t * s1_ref[:]).astype(y_ref.dtype)
 
 
 def k_onecast(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
@@ -74,7 +74,7 @@ def k_onecast(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
     t = (t * ut_ref[:]).astype(jnp.bfloat16)
     t = _dotg(t, ha_ref[:], 2)
     t = _dotg(t, hb_ref[:], 1)
-    y_ref[:] = t * s1_ref[:]
+    y_ref[:] = (t * s1_ref[:]).astype(y_ref.dtype)
 
 
 def make_fn(kernel, TB, D, dtype=jnp.float32, sem=None, io_dtype=None):
@@ -160,10 +160,7 @@ def main():
         variants = []
         for TB in args.tbs:
             variants += [
-                (f"cur/tb{TB}", make_fn(k_cur, TB, D)),
-                (f"swap/tb{TB}", make_fn(k_swap, TB, D)),
                 (f"par/tb{TB}", make_fn(k_cur, TB, D, sem="parallel")),
-                (f"onecast/tb{TB}", make_fn(k_onecast, TB, D, sem="parallel")),
                 (f"bf16io/tb{TB}", make_fn(k_cur, TB, D, sem="parallel",
                                            io_dtype=jnp.bfloat16)),
             ]

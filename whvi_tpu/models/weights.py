@@ -153,6 +153,11 @@ class SquarePow2Matrix:
           ``per_example_noise``, an independent eps per batch element
           (the variance-reduced form of the local reparameterization
           trick; same marginals, lower-variance gradients).
+
+        ``W_bar(u)`` is linear in ``u``, so the LRT's two products
+        collapse exactly into one: ``x W_bar(mu)^T + x W_bar(s*eps)^T
+        = x W_bar(mu + s*eps)^T`` (the reference evaluates both,
+        weights.py:93 — twice the transforms for the same value).
         Explicit path: ``y = x W_bar(g)^T`` with ``g ~ q``.
         """
         s1, s2 = params["s1"], params["s2"]
@@ -163,9 +168,8 @@ class SquarePow2Matrix:
                 else params["g_mu"].shape
             )
             eps = jax.random.normal(key, shape, x.dtype)
-            mean = whvi_mul(s1, params["g_mu"], s2, x)
-            noise = whvi_mul(s1, _g_sigma(params["g_rho"]) * eps, s2, x)
-            return mean + noise
+            u = params["g_mu"] + _g_sigma(params["g_rho"]) * eps
+            return whvi_mul(s1, u, s2, x)
         g = self.sample_g(params, key)
         return whvi_mul(s1, g, s2, x)
 
@@ -252,9 +256,9 @@ class StackedMatrix:
                 else params["g_mu"].shape
             )
             eps = jax.random.normal(key, shape, x.dtype)
-            mean = whvi_mul(s1, params["g_mu"], s2, xp)
-            noise = whvi_mul(s1, _g_sigma(params["g_rho"]) * eps, s2, xp)
-            out = mean + noise  # (..., stack, D_in)
+            # W_bar is linear in u: one product == mean + noise products
+            u = params["g_mu"] + _g_sigma(params["g_rho"]) * eps
+            out = whvi_mul(s1, u, s2, xp)  # (..., stack, D_in)
         else:
             g = self.sample_g(params, key)
             out = whvi_mul(s1, g, s2, xp)
