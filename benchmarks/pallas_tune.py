@@ -66,6 +66,22 @@ def k_swap(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
     y_ref[:] = (t * s1_ref[:]).astype(y_ref.dtype)
 
 
+def k_flat(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
+    # Merge the batch dim into the matmul rows: every stage is ONE large
+    # (TB*f, f) @ (f, f) MXU matmul instead of TB batched 128x128 ones.
+    # Leading-dim merges/splits only (lane dim unchanged) — Mosaic-legal.
+    TB, a, b = x_ref.shape
+    t = x_ref[:] * s2_ref[:]
+    t = _dotg(t.reshape(TB * a, b), hb_ref[:], 1).reshape(TB, a, b)
+    t = jnp.swapaxes(t, 1, 2)                      # (TB, b, a)
+    t = _dotg(t.reshape(TB * b, a), ha_ref[:], 1).reshape(TB, b, a)
+    t = t * ut_ref[:]
+    t = _dotg(t.reshape(TB * b, a), ha_ref[:], 1).reshape(TB, b, a)
+    t = jnp.swapaxes(t, 1, 2)                      # (TB, a, b)
+    t = _dotg(t.reshape(TB * a, b), hb_ref[:], 1).reshape(TB, a, b)
+    y_ref[:] = (t * s1_ref[:]).astype(y_ref.dtype)
+
+
 def k_onecast(s2_ref, ut_ref, s1_ref, ha_ref, hb_ref, x_ref, y_ref):
     # scale in bf16 where exactness allows; minimize VPU passes
     t = (x_ref[:] * s2_ref[:]).astype(jnp.bfloat16)
@@ -160,10 +176,11 @@ def main():
         variants = []
         for TB in args.tbs:
             variants += [
-                (f"par/tb{TB}", make_fn(k_cur, TB, D, sem="parallel")),
-                (f"bf16io/tb{TB}", make_fn(k_cur, TB, D, sem="parallel",
-                                           io_dtype=jnp.bfloat16)),
+                (f"flat/tb{TB}", make_fn(k_flat, TB, D, sem="parallel")),
+                (f"cur/tb{TB}", make_fn(k_cur, TB, D, sem="parallel")),
             ]
+        # repeat the winner candidate to gauge run-to-run noise
+        variants.append(("flat/tb32-rep", make_fn(k_flat, 32, D, sem="parallel")))
         for name, f in variants:
             try:
                 y = f(rs1, ru, rs2, x)
