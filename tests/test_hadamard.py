@@ -158,6 +158,26 @@ def test_kl_diag_normal_zero_when_equal():
     assert abs(float(kl_diag_normal(mu, sigma, mu, sigma))) < 1e-6
 
 
+def test_kl_normal_scalar():
+    # Scalar KL (reference src/utils.py:36-46, stddev-consistent here):
+    # closed form for N(m1, s1^2) || N(m2, s2^2).
+    from whvi_tpu.ops import kl_normal
+
+    m1, s1, m2, s2 = 0.7, 0.4, -0.2, 1.3
+    expect = (
+        np.log(s2 / s1) + (s1**2 + (m1 - m2) ** 2) / (2 * s2**2) - 0.5
+    )
+    np.testing.assert_allclose(float(kl_normal(m1, s1, m2, s2)), expect,
+                               rtol=1e-6)
+    # zero at equality; consistent with the diagonal form
+    assert abs(float(kl_normal(1.1, 0.9, 1.1, 0.9))) < 1e-7
+    np.testing.assert_allclose(
+        float(kl_normal(m1, s1, m2, s2)),
+        float(kl_diag_normal(jnp.array([m1]), jnp.array([s1]), m2, s2)),
+        rtol=1e-6,
+    )
+
+
 def test_whvi_mul_matches_dense():
     key = jax.random.PRNGKey(8)
     D, B = 64, 9

@@ -5,6 +5,7 @@ from whvi_tpu.ops.hadamard import (
     fwht_kron,
     is_pow_of_2,
     kl_diag_normal,
+    kl_normal,
     matmul_diag_left,
     matmul_diag_right,
     next_pow_of_2,
@@ -18,6 +19,7 @@ __all__ = [
     "fwht_kron",
     "is_pow_of_2",
     "kl_diag_normal",
+    "kl_normal",
     "matmul_diag_left",
     "matmul_diag_right",
     "next_pow_of_2",

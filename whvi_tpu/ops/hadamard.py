@@ -54,6 +54,7 @@ __all__ = [
     "fwht_butterfly",
     "fwht_kron",
     "kl_diag_normal",
+    "kl_normal",
     "matmul_diag_left",
     "matmul_diag_right",
 ]
@@ -206,6 +207,27 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
 def fwht(x: jax.Array) -> jax.Array:
     """Default FWHT along the last axis (Kronecker/MXU formulation)."""
     return fwht_kron(x)
+
+
+def kl_normal(
+    mu_q: jax.Array | float,
+    sigma_q: jax.Array | float,
+    mu_p: jax.Array | float,
+    sigma_p: jax.Array | float,
+) -> jax.Array:
+    """KL(N(mu_q, sigma_q^2) || N(mu_p, sigma_p^2)) between scalar normals.
+
+    API-parity counterpart of reference ``kl_normal`` (src/utils.py:36-46;
+    unused in its main path). Stddev-parameterized, consistent with
+    :func:`kl_diag_normal` (the diagonal form reduces to a sum of these).
+    """
+    mu_q = jnp.asarray(mu_q, jnp.result_type(float, mu_q))
+    return kl_diag_normal(
+        jnp.reshape(mu_q, (-1,)),
+        jnp.reshape(jnp.asarray(sigma_q, mu_q.dtype), (-1,)),
+        mu_p,
+        sigma_p,
+    )
 
 
 def kl_diag_normal(
