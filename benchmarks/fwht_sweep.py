@@ -37,6 +37,41 @@ from whvi_tpu.ops import build_H, fwht_butterfly, fwht_kron
 from whvi_tpu.utils.profiling import chain_time
 
 
+def _write_plot(rows, crossover, path, backend):
+    """Log-log per-transform time vs D — counterpart of the reference's
+    walsh_plot.py figure (compute-performance-all.pdf in its report)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    Ds = [r["D"] for r in rows]
+    series = [
+        ("matmul_us", f"dense H matmul ({backend})", "#888888", "--"),
+        ("butterfly_us", "FWHT butterfly", "#4477aa", "-"),
+        ("kron_us", "FWHT Kronecker/MXU", "#cc6677", "-"),
+    ]
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for key, label, color, ls in series:
+        ax.plot(Ds, [r[key] for r in rows], label=label, color=color,
+                linestyle=ls, marker="o", markersize=3.5)
+    if crossover is not None:
+        ax.axvline(crossover, color="#999999", linewidth=0.8, zorder=0)
+        ax.annotate(f"crossover D={crossover}", (crossover, ax.get_ylim()[1]),
+                    xytext=(4, -12), textcoords="offset points", fontsize=8,
+                    color="#555555")
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log")
+    ax.set_xlabel("transform size D")
+    ax.set_ylabel("time per transform (µs)")
+    ax.set_title(f"FWHT vs dense matmul, batch chains ({backend})")
+    ax.legend(frameon=False, fontsize=8)
+    ax.grid(True, which="both", linewidth=0.3, alpha=0.4)
+    fig.tight_layout()
+    fig.savefig(path)
+    print(json.dumps({"plot": path}), flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=512)
@@ -47,10 +82,18 @@ def main():
         nargs="*",
         default=[64, 128, 256, 512, 1024, 2048, 4096],
     )
+    ap.add_argument(
+        "--plot",
+        default=None,
+        metavar="OUT.pdf",
+        help="write the crossover chart (reference walsh_plot.py's "
+        "compute-performance-all.pdf counterpart)",
+    )
     args = ap.parse_args()
 
     print(f"backend={jax.default_backend()}")
     crossover = None
+    rows = []
     for D in args.sizes:
         x = jax.jit(
             lambda k, s: jax.random.normal(k, s), static_argnums=1
@@ -72,7 +115,10 @@ def main():
         if crossover is None and min(t_butter, t_kron) < t_matmul:
             crossover = D
             row["crossover"] = True
+        rows.append(row)
         print(json.dumps(row), flush=True)
+    if args.plot:
+        _write_plot(rows, crossover, args.plot, jax.default_backend())
     print(
         json.dumps(
             {
