@@ -97,6 +97,7 @@ def main():
                 "rmse": metrics["rmse"],
                 "mnll": metrics["mnll"],
                 "mnll_per_point": metrics["mnll_per_point"],
+                "pred_mnll_per_point": metrics.get("pred_mnll_per_point"),
                 "wall_s": wall,
                 "epochs_per_s": total_epochs / wall,
             }

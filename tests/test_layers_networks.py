@@ -109,6 +109,54 @@ def test_categorical_mnll_matches_manual():
     np.testing.assert_allclose(got, -n / (S * B) * total, rtol=1e-4)
 
 
+def test_predictive_mnll_logmeanexp_oracle():
+    # Posterior-predictive MNLL (the original paper's UCI metric):
+    # -mean_b log (1/S) sum_s p(y_b | f_s) — scalar oracle per likelihood.
+    S, B, O = 4, 3, 2
+    y = jax.random.normal(jax.random.PRNGKey(11), (B, O))
+    y_hat = jax.random.normal(jax.random.PRNGKey(12), (S, B, O))
+
+    lik = GaussianLikelihood(sigma0=0.9)
+    p = lik.init()
+    lp = np.asarray(lik.log_prob(p, y, y_hat))  # (S, B)
+    assert lp.shape == (S, B)
+    sigma = float(jax.nn.softplus(p["rho"]))
+    z = (np.asarray(y)[None] - np.asarray(y_hat)) / sigma
+    lp_manual = (-0.5 * z**2 - 0.5 * np.log(2 * np.pi) - np.log(sigma)).sum(-1)
+    np.testing.assert_allclose(lp, lp_manual, rtol=1e-4)
+    # logmeanexp against a direct density-average oracle
+    pred = -np.mean(np.log(np.mean(np.exp(lp_manual), axis=0)))
+    got = -np.mean(
+        np.asarray(
+            jax.scipy.special.logsumexp(jnp.asarray(lp), axis=0) - jnp.log(S)
+        )
+    )
+    np.testing.assert_allclose(got, pred, rtol=1e-4)
+
+    cat = CategoricalLikelihood()
+    yc = jnp.array([0, 2, 1])
+    logits = jax.random.normal(jax.random.PRNGKey(13), (S, B, 3))
+    lpc = np.asarray(cat.log_prob({}, yc, logits))
+    lsm = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    expect = np.stack(
+        [[lsm[s, b, int(yc[b])] for b in range(B)] for s in range(S)]
+    )
+    np.testing.assert_allclose(lpc, expect, rtol=1e-5)
+
+
+def test_eval_metrics_includes_predictive_mnll():
+    net = WHVIRegression(
+        [WHVILinear(4, 8), relu, WHVILinear(8, 1)], eval_samples=5
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (6, 4))
+    y = jax.random.normal(jax.random.PRNGKey(2), (6, 1))
+    m = net.eval_metrics(params, jax.random.PRNGKey(3), x, y)
+    assert "pred_mnll_per_point" in m
+    # Jensen: predictive MNLL <= mean-of-log MNLL per point
+    assert float(m["pred_mnll_per_point"]) <= float(m["mnll_per_point"]) + 1e-5
+
+
 @pytest.mark.parametrize("k", [1, 3])
 def test_network_shape_contract(k):
     # reference test/networks.py:11-23: output (B, k, S); ours is (S, B, k).

@@ -205,6 +205,16 @@ def evaluate_bayesian_regression(
                 "rmse": rmse,
                 "mnll": metrics["mnll"] + n_te * log_sd_total,
                 "mnll_per_point": metrics["mnll_per_point"] + log_sd_total,
+                # density change of variables: -log p_orig = -log p_norm
+                # + sum_d log sd_d, identically for the predictive metric
+                **(
+                    {
+                        "pred_mnll_per_point": metrics["pred_mnll_per_point"]
+                        + log_sd_total
+                    }
+                    if "pred_mnll_per_point" in metrics
+                    else {}
+                ),
             }
         entry = {
             "split": split,
@@ -214,6 +224,8 @@ def evaluate_bayesian_regression(
             "wall_s": wall,
             "epochs_per_s": total / max(wall, 1e-9),
         }
+        if "pred_mnll_per_point" in metrics:
+            entry["pred_mnll_per_point"] = metrics["pred_mnll_per_point"]
         results.append(entry)
         if log_fn:
             log_fn(entry)
@@ -221,7 +233,7 @@ def evaluate_bayesian_regression(
     rmses = np.array([r["rmse"] for r in results])
     mnlls = np.array([r["mnll"] for r in results])
     mnllpp = np.array([r["mnll_per_point"] for r in results])
-    return {
+    out = {
         "rmse_mean": float(rmses.mean()),
         "rmse_sd": float(rmses.std()),
         "mnll_mean": float(mnlls.mean()),
@@ -230,3 +242,8 @@ def evaluate_bayesian_regression(
         "mnll_per_point_sd": float(mnllpp.std()),
         "splits": results,
     }
+    if all("pred_mnll_per_point" in r for r in results):
+        pp = np.array([r["pred_mnll_per_point"] for r in results])
+        out["pred_mnll_per_point_mean"] = float(pp.mean())
+        out["pred_mnll_per_point_sd"] = float(pp.std())
+    return out

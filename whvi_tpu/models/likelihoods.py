@@ -77,6 +77,18 @@ class GaussianLikelihood:
         S, B = y_hat.shape[0], y_hat.shape[1]
         return -(n / (S * B)) * jnp.sum(lp)
 
+    def log_prob(
+        self, params: dict, y: jax.Array, y_hat: jax.Array
+    ) -> jax.Array:
+        """Per-sample, per-point joint log density ``(S, B)`` (outputs
+        summed). Input to the posterior-predictive MNLL
+        ``-mean_B logmeanexp_S`` — the metric the original paper's UCI
+        tables report (standard Hernandez-Lobato & Adams protocol), as
+        opposed to the reference's mean-of-log estimator (its
+        likelihoods.py:18-29), which is only a bound on it."""
+        sigma = self.sigma(params)
+        return jnp.sum(_gauss_logpdf(y[None], y_hat, sigma), axis=-1)
+
     def predict(self, params: dict, y_hat: jax.Array):
         """Predictive mean and stddev from MC samples ``(S, B, n_out)``.
 
@@ -117,6 +129,14 @@ class HeteroscedasticGaussianLikelihood:
         S, B = y_hat.shape[0], y_hat.shape[1]
         return -(n / (S * B)) * jnp.sum(lp)
 
+    def log_prob(
+        self, params: dict, y: jax.Array, y_hat: jax.Array
+    ) -> jax.Array:
+        """Per-sample, per-point joint log density ``(S, B)``."""
+        del params
+        mean, sigma = self.split(y_hat)
+        return jnp.sum(_gauss_logpdf(y[None], mean, sigma), axis=-1)
+
     def predict(self, params: dict, y_hat: jax.Array):
         del params
         mean, sigma = self.split(y_hat)
@@ -143,6 +163,15 @@ class CategoricalLikelihood:
         ll = jnp.take_along_axis(logp, y[None, :, None], axis=-1)
         S, B = y_hat.shape[0], y_hat.shape[1]
         return -(n / (S * B)) * jnp.sum(ll)
+
+    def log_prob(
+        self, params: dict, y: jax.Array, y_hat: jax.Array
+    ) -> jax.Array:
+        """Per-sample, per-point class log probability ``(S, B)``."""
+        del params
+        y = y.reshape(-1).astype(jnp.int32)
+        logp = jax.nn.log_softmax(y_hat, axis=-1)
+        return jnp.take_along_axis(logp, y[None, :, None], axis=-1)[..., 0]
 
     def predict(self, params: dict, y_hat: jax.Array):
         """Posterior-mean class probabilities ``(B, C)``."""

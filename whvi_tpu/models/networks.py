@@ -131,6 +131,14 @@ class WHVINetwork:
         n = x.shape[0]
         mnll = self.likelihood.mnll(params["likelihood"], y, y_hat, n)
         out = {"mnll": mnll, "mnll_per_point": mnll / n}
+        if hasattr(self.likelihood, "log_prob"):
+            # Posterior-predictive MNLL (the original paper's UCI metric):
+            # -mean_i log (1/S) sum_s p(y_i | f_s). The reference only has
+            # the mean-of-log estimator above (its likelihoods.py:18-29),
+            # which upper-bounds this by Jensen.
+            lp = self.likelihood.log_prob(params["likelihood"], y, y_hat)
+            pred_ll = jax.scipy.special.logsumexp(lp, axis=0) - jnp.log(S)
+            out["pred_mnll_per_point"] = -jnp.mean(pred_ll)
         if y.ndim > 1 and y_hat.ndim == 3 and y_hat.shape[-1] == y.shape[-1]:
             rmse = jnp.sqrt(
                 jnp.mean(jnp.square(jnp.mean(y_hat, axis=0) - y))
