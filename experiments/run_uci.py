@@ -57,6 +57,12 @@ def main():
     ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
     ap.add_argument("--train-samples", type=int, default=1)
     ap.add_argument("--per-example-noise", action="store_true")
+    ap.add_argument(
+        "--rect-mode",
+        choices=["stack", "pad"],
+        default="stack",
+        help="non-square layer construction (pad = full-mixing block)",
+    )
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -80,6 +86,7 @@ def main():
         hidden=tuple(args.hidden),
         train_samples=args.train_samples,
         per_example_noise=args.per_example_noise,
+        rect_mode=args.rect_mode,
     )
     log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
     out = evaluate_bayesian_regression(

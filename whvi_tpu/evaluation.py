@@ -73,6 +73,10 @@ class ProtocolConfig:
     normalize_y: bool = False
     # independent LRT noise per batch element (variance-reduced)
     per_example_noise: bool = False
+    # non-square layer construction: "stack" (reference semantics) or
+    # "pad" (one padded square block, full mixing — higher capacity for
+    # very rectangular first/last layers; weights.PaddedSquareMatrix)
+    rect_mode: str = "stack"
     # drop the KL term entirely (MAP-with-noise ablation; reference
     # loss(..., ignore_kl) switch)
     ignore_kl: bool = False
@@ -117,6 +121,7 @@ def evaluate_bayesian_regression(
                 lambda_hidden=config.lambda_hidden,
                 lambda_last=config.lambda_last,
                 activation=None,
+                rect_mode=config.rect_mode,
             ),
             sigma0=config.sigma0,
             train_samples=config.train_samples,

@@ -154,10 +154,14 @@ def mlp_layers(
     lambda_hidden: float = 3.0,
     lambda_last: float = 1e-5,
     activation=None,
+    rect_mode: str = "stack",
 ) -> list:
     """The reference UCI architecture builder: WHVI MLP with ReLU hidden
     activations, prior variance ``lambda_hidden`` on hidden layers and
     ``lambda_last`` on the output layer (reference evaluation.py:79-85).
+    ``rect_mode`` selects the non-square construction: "stack" =
+    reference block-stacking semantics, "pad" = one padded square block
+    with full input/output mixing (see weights.PaddedSquareMatrix).
     """
     from whvi_tpu.models.layers import WHVILinear, relu
 
@@ -165,9 +169,13 @@ def mlp_layers(
     dims = [n_in, *hidden]
     layers: list = []
     for a, b in zip(dims[:-1], dims[1:]):
-        layers.append(WHVILinear(a, b, lambda_=lambda_hidden))
+        layers.append(
+            WHVILinear(a, b, lambda_=lambda_hidden, rect_mode=rect_mode)
+        )
         layers.append(act)
-    layers.append(WHVILinear(dims[-1], n_out, lambda_=lambda_last))
+    layers.append(
+        WHVILinear(dims[-1], n_out, lambda_=lambda_last, rect_mode=rect_mode)
+    )
     return layers
 
 
