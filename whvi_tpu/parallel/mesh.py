@@ -31,7 +31,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from whvi_tpu.train.optim import mask_likelihood_grads
 from whvi_tpu.train.trainer import TrainState
 
-__all__ = ["make_mesh", "sharded_loss_fn", "make_sharded_train_step"]
+__all__ = [
+    "make_mesh",
+    "sharded_loss_fn",
+    "make_sharded_train_step",
+    "make_sharded_predict",
+]
 
 
 def make_mesh(
@@ -101,6 +106,46 @@ def sharded_loss_fn(
         return loss, {"mnll": mnll, "kl": kl}
 
     return loss_fn
+
+
+def make_sharded_predict(net, mesh: Mesh, n_samples: int):
+    """Jitted SPMD posterior-predictive inference over the mesh.
+
+    The serving-side counterpart of :func:`make_sharded_train_step`:
+    MC samples shard over the ``sample`` axis, the batch over ``data``.
+    Returns ``predict(params, key, x) -> (S, B, n_out)`` — identical
+    values to the single-device ``net.predict(params, x, key, S)``
+    (same key-splitting order), with the output left sharded
+    ``P("sample", "data")`` so downstream reductions (mixture moments,
+    predictive MNLL) also run distributed. No reference counterpart
+    (it has no batched-inference path at all; its eval loops MC samples
+    in Python under autograd, networks.py:45-51).
+    """
+    s_shards = mesh.shape["sample"]
+    if n_samples % s_shards:
+        raise ValueError(
+            f"n_samples={n_samples} not divisible by sample shards {s_shards}"
+        )
+
+    def _local(params, keys, x):
+        return jax.vmap(lambda k: net.apply(params, x, k))(keys)
+
+    local = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(), P("sample"), P("data")),
+        out_specs=P("sample", "data"),
+    )
+
+    def predict(params, key, x):
+        keys = jax.random.split(key, n_samples)
+        return local(params, keys, x)
+
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(
+        predict,
+        in_shardings=(replicated, replicated, NamedSharding(mesh, P("data"))),
+    )
 
 
 def make_sharded_train_step(
