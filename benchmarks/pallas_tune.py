@@ -179,8 +179,12 @@ def main():
                 (f"flat/tb{TB}", make_fn(k_flat, TB, D, sem="parallel")),
                 (f"cur/tb{TB}", make_fn(k_cur, TB, D, sem="parallel")),
             ]
-        # repeat the winner candidate to gauge run-to-run noise
-        variants.append(("flat/tb32-rep", make_fn(k_flat, 32, D, sem="parallel")))
+        # repeat the last candidate to gauge run-to-run noise (use the
+        # CLI tile so the grid B // TB always covers the batch)
+        TB_rep = args.tbs[-1]
+        variants.append(
+            (f"flat/tb{TB_rep}-rep", make_fn(k_flat, TB_rep, D, sem="parallel"))
+        )
         for name, f in variants:
             try:
                 y = f(rs1, ru, rs2, x)

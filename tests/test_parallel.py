@@ -132,3 +132,82 @@ def test_scan_steps_matches_repeated_steps():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_sharded_predict_matches_single_device():
+    # make_sharded_predict must reproduce net.predict exactly for
+    # per-batch-noise nets (ADVICE.md round 1: previously untested).
+    from whvi_tpu.parallel import make_sharded_predict
+
+    net = _net()
+    X, _ = _data(n=16)
+    params = net.init(jax.random.PRNGKey(6))
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(data=2, sample=2)
+    predict = make_sharded_predict(net, mesh, n_samples=8)
+    y_sharded = predict(params, key, jnp.asarray(X))
+    y_ref = net.predict(params, jnp.asarray(X), key, 8)
+    np.testing.assert_allclose(
+        np.asarray(y_sharded), np.asarray(y_ref), rtol=2e-5, atol=1e-6
+    )
+
+
+def _per_example_net(train_samples=4):
+    import dataclasses
+
+    net = _net(train_samples)
+    return dataclasses.replace(
+        net,
+        layers=tuple(
+            dataclasses.replace(l, per_example_noise=True)
+            if hasattr(l, "per_example_noise")
+            else l
+            for l in net.layers
+        ),
+    )
+
+
+def test_sharded_predict_per_example_noise_not_duplicated_across_shards():
+    # With per-example LRT noise and data shards > 1, each shard's local
+    # eps must be independent: feeding identical rows to both data shards
+    # must NOT produce identical outputs (the round-1 bug: same key per
+    # shard => duplicated noise; ADVICE.md medium).
+    from whvi_tpu.parallel import make_sharded_predict
+
+    net = _per_example_net()
+    params = net.init(jax.random.PRNGKey(8))
+    key = jax.random.PRNGKey(9)
+    x = jnp.tile(jnp.asarray([[0.3, -1.2, 0.5, 2.0]], jnp.float32), (4, 1))
+    mesh = make_mesh(data=2, sample=2)
+    predict = make_sharded_predict(net, mesh, n_samples=4)
+    y = np.asarray(predict(params, key, x))  # (4, 4, 1)
+    # rows 0:2 live on data shard 0, rows 2:4 on shard 1 (atol=0: the
+    # default-init outputs are ~1e-9, below allclose's default atol)
+    assert not np.allclose(
+        y[:, :2], y[:, 2:], rtol=1e-3, atol=0.0
+    ), "noise duplicated across shards"
+
+
+def test_sharded_loss_per_example_noise_shard_invariant_estimator():
+    # The per-example-noise sharded loss is not bit-equal to the
+    # single-device path (different eps draws), but it must be finite,
+    # and its spread across mesh layouts must look like MC noise, not a
+    # systematic duplication artifact.
+    net = _per_example_net()
+    X, y = _data(n=16)
+    params = net.init(jax.random.PRNGKey(10))
+    key = jax.random.PRNGKey(11)
+    vals = []
+    for data, sample in [(1, 4), (2, 2), (4, 1)]:
+        mesh = make_mesh(data=data, sample=sample)
+        loss_fn = sharded_loss_fn(net, mesh, n_samples=4)
+        loss, _ = jax.jit(loss_fn)(
+            params, key, jnp.asarray(X), jnp.asarray(y), 16
+        )
+        vals.append(float(loss))
+        assert np.isfinite(vals[-1])
+    # single-shard layout keeps the exact single-device values
+    loss_ref, _ = net.loss(
+        params, key, jnp.asarray(X), jnp.asarray(y), n=16, n_samples=4
+    )
+    np.testing.assert_allclose(vals[0], float(loss_ref), rtol=2e-5)

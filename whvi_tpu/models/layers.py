@@ -62,6 +62,12 @@ class WHVILinear:
     # rectangular shapes, see weights.PaddedSquareMatrix)
     rect_mode: str = "stack"
 
+    def __post_init__(self):
+        if self.rect_mode not in ("stack", "pad"):
+            raise ValueError(
+                f"rect_mode must be 'stack' or 'pad', got {self.rect_mode!r}"
+            )
+
     @property
     def matrix(self):
         if self.n_in == 1:

@@ -38,6 +38,27 @@ __all__ = [
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
+def _weighted_total(lp_per_point: jax.Array, n, weights) -> jax.Array:
+    """Total-dataset MNLL estimate from per-(S, B) log densities.
+
+    ``-(n / (S * B_eff)) * sum(w * lp)`` with ``B_eff = sum(w)``; with
+    ``weights=None`` this is the reference's ``-(n / (S * B)) * sum lp``
+    (likelihoods.py:18-29). Row weights de-bias statically-padded
+    batches: padding rows get weight 0, so a wrap-padded batch of k real
+    rows yields exactly the estimator of the k-row batch (see
+    train/trainer.py wrap-padding).
+    """
+    S = lp_per_point.shape[0]
+    if weights is None:
+        B_eff = lp_per_point.shape[1]
+        total = jnp.sum(lp_per_point)
+    else:
+        w = weights.reshape(-1)
+        B_eff = jnp.sum(w)
+        total = jnp.sum(lp_per_point * w[None, :])
+    return -(n / (S * B_eff)) * total
+
+
 def _inv_softplus(y: float) -> float:
     return math.log(math.expm1(y))
 
@@ -64,18 +85,23 @@ class GaussianLikelihood:
         return jax.nn.softplus(params["rho"])
 
     def mnll(
-        self, params: dict, y: jax.Array, y_hat: jax.Array, n: jax.Array | int
+        self,
+        params: dict,
+        y: jax.Array,
+        y_hat: jax.Array,
+        n: jax.Array | int,
+        weights: jax.Array | None = None,
     ) -> jax.Array:
         """Total-dataset MNLL estimate from an MC batch.
 
         y: (B, n_out) targets; y_hat: (S, B, n_out) MC predictions;
         n: dataset size. Matches reference mnll_batch_estimate
         (likelihoods.py:18-29): ``-n/(B*S) * sum log N(y | y_hat, sigma)``.
+        Optional ``weights (B,)`` de-bias padded batches (0 = padding row).
         """
         sigma = self.sigma(params)
         lp = _gauss_logpdf(y[None], y_hat, sigma)  # (S, B, n_out)
-        S, B = y_hat.shape[0], y_hat.shape[1]
-        return -(n / (S * B)) * jnp.sum(lp)
+        return _weighted_total(jnp.sum(lp, axis=-1), n, weights)
 
     def log_prob(
         self, params: dict, y: jax.Array, y_hat: jax.Array
@@ -121,13 +147,17 @@ class HeteroscedasticGaussianLikelihood:
         return mean, jax.nn.softplus(raw) + self.sigma_min
 
     def mnll(
-        self, params: dict, y: jax.Array, y_hat: jax.Array, n: jax.Array | int
+        self,
+        params: dict,
+        y: jax.Array,
+        y_hat: jax.Array,
+        n: jax.Array | int,
+        weights: jax.Array | None = None,
     ) -> jax.Array:
         del params
         mean, sigma = self.split(y_hat)
         lp = _gauss_logpdf(y[None], mean, sigma)
-        S, B = y_hat.shape[0], y_hat.shape[1]
-        return -(n / (S * B)) * jnp.sum(lp)
+        return _weighted_total(jnp.sum(lp, axis=-1), n, weights)
 
     def log_prob(
         self, params: dict, y: jax.Array, y_hat: jax.Array
@@ -155,14 +185,18 @@ class CategoricalLikelihood:
         return {}
 
     def mnll(
-        self, params: dict, y: jax.Array, y_hat: jax.Array, n: jax.Array | int
+        self,
+        params: dict,
+        y: jax.Array,
+        y_hat: jax.Array,
+        n: jax.Array | int,
+        weights: jax.Array | None = None,
     ) -> jax.Array:
         del params
         y = y.reshape(-1).astype(jnp.int32)  # accept (B,) or (B, 1)
         logp = jax.nn.log_softmax(y_hat, axis=-1)  # (S, B, C)
         ll = jnp.take_along_axis(logp, y[None, :, None], axis=-1)
-        S, B = y_hat.shape[0], y_hat.shape[1]
-        return -(n / (S * B)) * jnp.sum(ll)
+        return _weighted_total(ll[..., 0], n, weights)
 
     def log_prob(
         self, params: dict, y: jax.Array, y_hat: jax.Array

@@ -93,6 +93,7 @@ class WHVINetwork:
         n_samples: int | None = None,
         ignore_kl: bool = False,
         kl_scale: jax.Array | float = 1.0,
+        weights: jax.Array | None = None,
     ) -> tuple[jax.Array, dict]:
         """Negative ELBO = MNLL + kl_scale * KL (reference networks.py:56-69).
 
@@ -105,11 +106,15 @@ class WHVINetwork:
 
         Returns ``(loss, aux)`` with ``aux = {"mnll": ..., "kl": ...}``
         (the reference caches these as ``current_mnll``/``current_kl`` for
-        its progress bar, networks.py:29-30).
+        its progress bar, networks.py:29-30). Optional ``weights (B,)``
+        de-bias statically padded batches (0 = padding row; see
+        likelihoods._weighted_total).
         """
         S = self.train_samples if n_samples is None else n_samples
         y_hat = self.predict(params, x, key, S)
-        mnll = self.likelihood.mnll(params["likelihood"], y, y_hat, n)
+        mnll = self.likelihood.mnll(
+            params["likelihood"], y, y_hat, n, weights=weights
+        )
         kl = self.kl(params)
         loss = mnll if ignore_kl else mnll + kl_scale * kl
         return loss, {"mnll": mnll, "kl": kl}

@@ -179,10 +179,11 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
     factors = fwht_factors(D, max_factor)
     # accumulate in float32 for low-precision inputs, else in the input
     # dtype (so float64 oracles/grad-checks stay exact)
-    acc = jnp.float32 if x.dtype.itemsize <= 4 else x.dtype
+    dtype = x.dtype
+    acc = jnp.float32 if dtype.itemsize <= 4 else dtype
     if len(factors) == 1:
         H = build_H(D, acc)
-        return jnp.matmul(x, H, preferred_element_type=acc).astype(x.dtype)
+        return jnp.matmul(x, H, preferred_element_type=acc).astype(dtype)
     batch = x.shape[:-1]
     x = x.reshape(batch + factors)
     nb = len(batch)
@@ -190,18 +191,21 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
         H = build_H(f, acc)
         axis = nb + i
         # Contract axis `axis` with H; tensordot puts the contracted axis
-        # last, so move it back to keep the logical index layout.
+        # last, so move it back to keep the logical index layout. The
+        # intermediate stays in the accumulation dtype across the whole
+        # factor chain (rounding to bf16 between stages would compound:
+        # one final cast below instead).
         x = jnp.moveaxis(
             jax.lax.dot_general(
                 x,
                 H,
                 dimension_numbers=(((axis,), (0,)), ((), ())),
                 preferred_element_type=acc,
-            ).astype(x.dtype),
+            ),
             -1,
             axis,
         )
-    return x.reshape(batch + (D,))
+    return x.reshape(batch + (D,)).astype(dtype)
 
 
 def fwht(x: jax.Array) -> jax.Array:

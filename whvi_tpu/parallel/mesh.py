@@ -81,9 +81,24 @@ def sharded_loss_fn(
         raise ValueError(
             f"n_samples={n_samples} not divisible by sample shards {s_shards}"
         )
+    # With per-example LRT noise the eps shape depends on the LOCAL batch,
+    # so every data shard would draw the SAME eps for its rows (duplicated
+    # noise, not the independent-per-example semantics). Fold the data-shard
+    # index into the keys in that case; per-batch-noise nets keep the raw
+    # keys so the sharded estimator stays bit-identical to single-device.
+    per_example = any(
+        getattr(l, "per_example_noise", False) for l in net.layers
+    )
+
+    def _fold_data_shard(keys):
+        if not per_example or d_shards == 1:
+            return keys
+        i = jax.lax.axis_index("data")
+        return jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
 
     def _local(params, keys, x, y, n):
         # keys: (S_local,) — one stochastic forward per key
+        keys = _fold_data_shard(keys)
         y_hat = jax.vmap(lambda k: net.apply(params, x, k))(keys)
         mnll_local = net.likelihood.mnll(params["likelihood"], y, y_hat, n)
         # average the per-shard MNLL estimates over the whole mesh
@@ -115,19 +130,30 @@ def make_sharded_predict(net, mesh: Mesh, n_samples: int):
     MC samples shard over the ``sample`` axis, the batch over ``data``.
     Returns ``predict(params, key, x) -> (S, B, n_out)`` — identical
     values to the single-device ``net.predict(params, x, key, S)``
-    (same key-splitting order), with the output left sharded
+    (same key-splitting order) for per-batch-noise nets; per-example-noise
+    nets draw independent (not bit-identical) eps per data shard — with
+    the output left sharded
     ``P("sample", "data")`` so downstream reductions (mixture moments,
     predictive MNLL) also run distributed. No reference counterpart
     (it has no batched-inference path at all; its eval loops MC samples
     in Python under autograd, networks.py:45-51).
     """
     s_shards = mesh.shape["sample"]
+    d_shards = mesh.shape["data"]
     if n_samples % s_shards:
         raise ValueError(
             f"n_samples={n_samples} not divisible by sample shards {s_shards}"
         )
+    # Same per-example-noise key discipline as sharded_loss_fn: data
+    # shards must not reuse one eps when the noise is per batch element.
+    per_example = any(
+        getattr(l, "per_example_noise", False) for l in net.layers
+    )
 
     def _local(params, keys, x):
+        if per_example and d_shards > 1:
+            i = jax.lax.axis_index("data")
+            keys = jax.vmap(lambda k: jax.random.fold_in(k, i))(keys)
         return jax.vmap(lambda k: net.apply(params, x, k))(keys)
 
     local = jax.shard_map(

@@ -54,13 +54,22 @@ def restore_checkpoint(path: str, template: Any) -> tuple[Any, dict]:
     """
     leaves_t, treedef = jax.tree.flatten(template)
     with np.load(path) as data:
+        n_saved = len(data.files)
+        if n_saved != len(leaves_t):
+            raise ValueError(
+                f"checkpoint {path} holds {n_saved} leaves but the "
+                f"current model/optimizer state has {len(leaves_t)} — "
+                "the architecture or config changed since it was saved; "
+                "use a fresh checkpoint dir (or resume=False)"
+            )
         leaves = [data[f"leaf_{i}"] for i in range(len(leaves_t))]
     for i, (got, want) in enumerate(zip(leaves, leaves_t)):
         want_shape = tuple(np.shape(want))
         if tuple(got.shape) != want_shape:
             raise ValueError(
                 f"checkpoint leaf {i} shape {got.shape} != template "
-                f"{want_shape}"
+                f"{want_shape} — architecture changed since save; use a "
+                "fresh checkpoint dir (or resume=False)"
             )
     leaves = [
         jax.numpy.asarray(got, dtype=np.asarray(want).dtype)

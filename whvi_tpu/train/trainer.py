@@ -130,8 +130,14 @@ class Trainer:
         y: jax.Array,
         n: jax.Array | int,
         train_likelihood: jax.Array | float,
+        weights: jax.Array | None = None,
     ) -> tuple[TrainState, dict]:
-        """One ELBO step (reference per-batch body, networks.py:77-82)."""
+        """One ELBO step (reference per-batch body, networks.py:77-82).
+
+        ``weights (B,)`` marks padding rows with 0 so the MNLL estimator
+        of a wrap-padded batch equals the unpadded batch's (the reference
+        simply has a smaller last batch; static shapes require padding).
+        """
         key, sub = jax.random.split(state.key)
         if self.config.kl_warmup_steps > 0:
             kl_scale = jnp.minimum(
@@ -148,6 +154,7 @@ class Trainer:
             n,
             ignore_kl=self.config.ignore_kl,
             kl_scale=kl_scale,
+            weights=weights,
         )
         grads = mask_likelihood_grads(grads, train_likelihood)
         updates, opt_state = self.tx.update(
@@ -174,6 +181,13 @@ class Trainer:
             num_batches = -(-n_train // B)
             padded = num_batches * B
 
+            # positions >= n_train are wrap-duplicated rows: weight 0 so
+            # the padded batch's MNLL estimator equals the unpadded one
+            # (the reference's last DataLoader batch is simply smaller)
+            wb = (jnp.arange(padded) < n_train).astype(X.dtype).reshape(
+                num_batches, B
+            )
+
             def epoch_body(state, _):
                 key, perm_key = jax.random.split(state.key)
                 state = state._replace(key=key)
@@ -185,13 +199,13 @@ class Trainer:
                 xb = X[idx].reshape(num_batches, B, -1)
                 yb = Y[idx].reshape(num_batches, B, -1)
 
-                def batch_body(state, xy):
-                    x, y = xy
+                def batch_body(state, xyw):
+                    x, y, w = xyw
                     return self.train_step(
-                        state, x, y, n_train, train_likelihood
+                        state, x, y, n_train, train_likelihood, weights=w
                     )
 
-                state, metrics = jax.lax.scan(batch_body, state, (xb, yb))
+                state, metrics = jax.lax.scan(batch_body, state, (xb, yb, wb))
                 # keep the last batch's metrics (reference shows the
                 # latest cached mnll/kl on its progress bar)
                 return state, jax.tree.map(lambda a: a[-1], metrics)
@@ -265,7 +279,10 @@ class Trainer:
                 "loss": float(metrics["loss"]),
                 "mnll": float(metrics["mnll"]),
                 "kl": float(metrics["kl"]),
-                "epochs_per_s": epoch / max(time.time() - t0, 1e-9),
+                # epochs completed by THIS call over its own wall time
+                # (after resume, start_epoch epochs predate t0)
+                "epochs_per_s": (epoch - start_epoch)
+                / max(time.time() - t0, 1e-9),
             }
             logs.append(entry)
             if log_fn:
