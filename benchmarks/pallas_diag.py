@@ -39,6 +39,30 @@ from whvi_tpu.utils.profiling import chain_time
 _LANE = 128
 
 
+def chain_time_scalar(fn, x, iters=50, reps=3):
+    """Like profiling.chain_time but forces completion by fetching a
+    scalar reduction of the result (block_until_ready is unreliable on
+    the remote-tunnel backend for some programs, CLAUDE.md)."""
+    import time as _time
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames="n")
+    def chained(v, n):
+        w = jax.lax.fori_loop(0, n, lambda i, w: fn(w), v)
+        return jnp.sum(w[:1, :1])
+
+    def run(n):
+        float(chained(x, n))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            float(chained(x, n))
+            best = min(best, _time.perf_counter() - t0)
+        return best
+
+    return max(run(2 * iters) - run(iters), 1e-9) / iters
+
+
 def _dotg(t, h, axis):
     return jax.lax.dot_general(
         t.astype(h.dtype), h, (((axis,), (0,)), ((), ())),
@@ -170,5 +194,135 @@ def main():
                                       "error": str(e)[:160]}), flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--floors" not in sys.argv:
     main()
+
+
+# ---------------------------------------------------------------- DMA floors
+
+
+def make_hbm_copy(B, D):
+    """One whole-array DMA HBM->HBM: the raw DMA-engine floor."""
+
+    def kern(x_ref, y_ref, sem):
+        c = pltpu.make_async_copy(x_ref, y_ref, sem)
+        c.start()
+        c.wait()
+
+    @jax.jit
+    def fn(s1, u, s2, x):
+        del s1, u, s2
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        )(x)
+
+    return fn
+
+
+def make_single_step(kernel, D, B):
+    """Whole batch in ONE grid step (no pipeline): TB = B."""
+    return make_fn(kernel, B, D)
+
+
+def make_copy_2d(B, D, TB):
+    """2D blocks (TB, D) instead of 3D — same bytes, simpler block shape."""
+
+    def kern(x_ref, y_ref):
+        y_ref[:] = x_ref[:]
+
+    tile = pl.BlockSpec((TB, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    @jax.jit
+    def fn(s1, u, s2, x):
+        del s1, u, s2
+        return pl.pallas_call(
+            kern,
+            grid=(B // TB,),
+            in_specs=[tile],
+            out_specs=tile,
+            out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+                dimension_semantics=("parallel",),
+            ),
+        )(x)
+
+    return fn
+
+
+def make_emit_copy(B, D, TB):
+    """Copy via an inner emit_pipeline (manual pipeline, ANY memory)."""
+
+    def inner(x_blk, y_blk):
+        y_blk[:] = x_blk[:]
+
+    def kern(x_hbm, y_hbm):
+        pipe = pltpu.emit_pipeline(
+            inner,
+            grid=(B // TB,),
+            in_specs=[pl.BlockSpec((TB, D), lambda i: (i, 0))],
+            out_specs=[pl.BlockSpec((TB, D), lambda i: (i, 0))],
+        )
+        pipe(x_hbm, y_hbm)
+
+    @jax.jit
+    def fn(s1, u, s2, x):
+        del s1, u, s2
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((B, D), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024
+            ),
+        )(x)
+
+    return fn
+
+
+def main_floors():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--sizes", type=int, nargs="*", default=[16384])
+    ap.add_argument("--tbs", type=int, nargs="*", default=[64, 128, 256])
+    ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--floors", action="store_true")
+    args, _ = ap.parse_known_args()
+
+    for D in args.sizes:
+        B = args.batch
+        ks = jax.random.split(jax.random.PRNGKey(0), 4)
+        s1 = jax.random.normal(ks[0], (D,), jnp.float32)
+        u = jax.random.normal(ks[1], (D,), jnp.float32)
+        s2 = jax.random.normal(ks[2], (D,), jnp.float32)
+        x = jax.random.normal(ks[3], (B, D), jnp.float32)
+        bytes_moved = 2 * B * D * 4
+
+        def timed(fn3):
+            f = lambda v: fn3(s1, u, s2, v)
+            return chain_time_scalar(f, x, args.iters)
+
+        cands = [("hbm_copy", make_hbm_copy(B, D))]
+        for TB in args.tbs:
+            cands.append((f"copy2d/tb{TB}", make_copy_2d(B, D, TB)))
+            cands.append((f"emit_copy/tb{TB}", make_emit_copy(B, D, TB)))
+        cands.append((f"copy3d/tb{B}-1step", make_fn(k_copy, B, D)))
+        for name, f in cands:
+            try:
+                t = timed(f)
+                print(json.dumps({"D": D, "variant": name,
+                                  "us": round(t * 1e6, 1),
+                                  "GBps": round(bytes_moved / t / 1e9, 1)}),
+                      flush=True)
+            except Exception as e:
+                print(json.dumps({"D": D, "variant": name,
+                                  "error": str(e)[:160]}), flush=True)
+
+
+if __name__ == "__main__" and "--floors" in sys.argv:
+    main_floors()

@@ -55,14 +55,18 @@ def chain_time(f, s1, u, s2, x, iters):
 
     @functools.partial(jax.jit, static_argnames="n")
     def chained(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, v: f(s1, u, s2, v), x)
+        y = jax.lax.fori_loop(0, n, lambda i, v: f(s1, u, s2, v), x)
+        # full on-device reduction, fetched: block_until_ready returns
+        # early on this remote backend for XLA-only chains (measured
+        # ~1.6x optimistic in round 2) — only a value fetch truly syncs
+        return jnp.sum(y)
 
     def run(n):
-        chained(x, n).block_until_ready()  # compile + warm
+        float(chained(x, n))  # compile + warm
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            chained(x, n).block_until_ready()
+            float(chained(x, n))
             best = min(best, time.perf_counter() - t0)
         return best
 

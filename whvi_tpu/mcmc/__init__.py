@@ -1,16 +1,23 @@
+from whvi_tpu.mcmc.diagnostics import ess, split_rhat, summarize
 from whvi_tpu.mcmc.hmc import (
     HMCConfig,
     hmc_sample,
+    hmc_sample_chains,
     make_whvi_g_log_posterior,
     moments,
 )
-from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample
+from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample, nuts_sample_chains
 
 __all__ = [
     "HMCConfig",
     "NUTSConfig",
+    "ess",
     "hmc_sample",
+    "hmc_sample_chains",
     "make_whvi_g_log_posterior",
     "moments",
     "nuts_sample",
+    "nuts_sample_chains",
+    "split_rhat",
+    "summarize",
 ]

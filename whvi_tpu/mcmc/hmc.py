@@ -23,7 +23,13 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["HMCConfig", "hmc_sample", "make_whvi_g_log_posterior", "moments"]
+__all__ = [
+    "HMCConfig",
+    "hmc_sample",
+    "hmc_sample_chains",
+    "make_whvi_g_log_posterior",
+    "moments",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -96,6 +102,12 @@ def hmc_sample(
         log_accept = jnp.minimum(0.0, -(h_new - h_old))
         accept_prob = jnp.exp(log_accept)
         accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
+        # divergence: the Hamiltonian error blew up (Stan's criterion,
+        # threshold 1000) or went non-finite — the trajectory left the
+        # region the step size can integrate
+        divergent = jnp.logical_or(
+            ~jnp.isfinite(h_new), (h_new - h_old) > 1000.0
+        )
         u = jax.random.uniform(k_acc)
         take = u < accept_prob
         q = jax.tree.map(
@@ -118,13 +130,13 @@ def hmc_sample(
             lambda: (log_eps_new, log_eps_bar_new, h_bar_new),
             lambda: (log_eps_bar, log_eps_bar, h_bar),
         )
-        return (q, logp, da_state, i + 1), (q, accept_prob)
+        return (q, logp, da_state, i + 1), (q, accept_prob, divergent)
 
     total = cfg.n_warmup + cfg.n_samples
     keys = jax.random.split(key, total)
     init_logp = log_prob_fn(init_position)
     da0 = (jnp.log(cfg.init_step_size), jnp.log(cfg.init_step_size), 0.0)
-    (_, _, da_final, _), (qs, accepts) = jax.lax.scan(
+    (_, _, da_final, _), (qs, accepts, divs) = jax.lax.scan(
         step,
         (init_position, init_logp, da0, jnp.asarray(0, jnp.int32)),
         keys,
@@ -134,8 +146,48 @@ def hmc_sample(
         "accept_rate": jnp.mean(accepts[cfg.n_warmup :]),
         "warmup_accept_rate": jnp.mean(accepts[: cfg.n_warmup]),
         "step_size": jnp.exp(da_final[1]),
+        "divergences": jnp.sum(divs[cfg.n_warmup :].astype(jnp.int32)),
     }
     return samples, stats
+
+
+def hmc_sample_chains(
+    log_prob_fn: Callable[[Any], jax.Array],
+    init_position: Any,
+    key: jax.Array,
+    config: HMCConfig = HMCConfig(),
+    n_chains: int = 4,
+    jitter: float = 0.1,
+):
+    """Run ``n_chains`` independent HMC chains via vmap over keys.
+
+    Chain c starts at ``init_position + jitter * N(0, I)`` (over-dispersed
+    starts are what make split-R-hat informative). Returns ``(samples,
+    stats)`` with a leading ``(n_chains,)`` axis on every leaf — the
+    shape :mod:`whvi_tpu.mcmc.diagnostics` consumes directly.
+    """
+    k_init, k_run = jax.random.split(key)
+    leaves, treedef = jax.tree.flatten(init_position)
+    init_keys = jax.random.split(k_init, n_chains * len(leaves)).reshape(
+        n_chains, len(leaves), 2
+    )
+
+    def _jittered(c):
+        return jax.tree.unflatten(
+            treedef,
+            [
+                l + jitter * jax.random.normal(init_keys[c, i], l.shape, l.dtype)
+                for i, l in enumerate(leaves)
+            ],
+        )
+
+    inits = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_jittered(c) for c in range(n_chains)]
+    )
+    run_keys = jax.random.split(k_run, n_chains)
+    return jax.vmap(
+        lambda q0, k: hmc_sample(log_prob_fn, q0, k, config)
+    )(inits, run_keys)
 
 
 def make_whvi_g_log_posterior(net, params: dict, X, y):

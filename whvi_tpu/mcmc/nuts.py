@@ -29,7 +29,7 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["NUTSConfig", "nuts_sample"]
+__all__ = ["NUTSConfig", "nuts_sample", "nuts_sample_chains"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,22 +88,22 @@ def nuts_sample(
         """Statically-unrolled subtree of 2^depth leapfrog steps.
 
         Returns (q_minus, p_minus, q_plus, p_plus, q_prop, log_w,
-        turned). ``q/p`` is the trajectory edge to grow from (already in
-        ``direction``'s frame: we integrate with signed eps, so minus/
-        plus here are 'start edge'/'far edge')."""
+        turned, diverged). ``q/p`` is the trajectory edge to grow from
+        (already in ``direction``'s frame: we integrate with signed eps,
+        so minus/plus here are 'start edge'/'far edge')."""
         if depth == 0:
             q1, p1 = leapfrog(q, p, direction * eps)
             h1 = -logp_vec(q1) + 0.5 * jnp.dot(p1, p1)
             log_w = h0 - h1  # multinomial weight relative to start energy
             diverged = ~jnp.isfinite(log_w) | (log_w < -1000.0)
             log_w = jnp.where(diverged, NEG_INF, log_w)
-            return q1, p1, q1, p1, q1, log_w, diverged
+            return q1, p1, q1, p1, q1, log_w, diverged, diverged
         k1, k2, k3 = jax.random.split(key, 3)
-        (qm, pm, qp, pp, prop_l, lw_l, turn_l) = build_tree(
+        (qm, pm, qp, pp, prop_l, lw_l, turn_l, div_l) = build_tree(
             depth - 1, q, p, direction, eps, h0, k1
         )
         # grow from the far edge of the left subtree
-        (qm2, pm2, qp2, pp2, prop_r, lw_r, turn_r) = build_tree(
+        (qm2, pm2, qp2, pp2, prop_r, lw_r, turn_r, div_r) = build_tree(
             depth - 1, qp, pp, direction, eps, h0, k2
         )
         total = jnp.logaddexp(lw_l, lw_r)
@@ -120,7 +120,7 @@ def nuts_sample(
         )
         turned = turn_l | turn_r | turned_here
         log_w = jnp.where(turn_r, lw_l, total)
-        return qm, pm, qp2, pp2, prop, log_w, turned
+        return qm, pm, qp2, pp2, prop, log_w, turned, div_l | div_r
 
     mu = jnp.log(10.0 * cfg.init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
@@ -140,6 +140,7 @@ def nuts_sample(
         prop = q
         log_w = jnp.zeros(())  # weight of the initial point
         stopped = jnp.zeros((), bool)
+        any_div = jnp.zeros((), bool)
         sum_alpha = jnp.zeros(())
         n_alpha = jnp.zeros(())
 
@@ -150,9 +151,10 @@ def nuts_sample(
             direction = jnp.where(dirs[j], 1.0, -1.0)
             edge_q = jnp.where(direction > 0, q_plus, q_minus)
             edge_p = jnp.where(direction > 0, p_plus, p_minus)
-            (qm, pm, qp, pp, prop_j, lw_j, turn_j) = build_tree(
+            (qm, pm, qp, pp, prop_j, lw_j, turn_j, div_j) = build_tree(
                 j, edge_q, edge_p, direction, eps, h0, tree_keys[j]
             )
+            any_div = any_div | (div_j & ~stopped)
             # mean acceptance statistic for dual averaging (per doubling)
             alpha_j = jnp.minimum(1.0, jnp.exp(lw_j - jnp.log(2.0**j)))
             sum_alpha = sum_alpha + jnp.where(stopped, 0.0, alpha_j)
@@ -189,12 +191,12 @@ def nuts_sample(
             lambda: (log_eps_new, log_eps_bar_new, h_bar_new),
             lambda: (log_eps_bar, log_eps_bar, h_bar),
         )
-        return (prop, da_state, i + 1), (prop, accept_stat)
+        return (prop, da_state, i + 1), (prop, accept_stat, any_div)
 
     total = cfg.n_warmup + cfg.n_samples
     keys = jax.random.split(key, total)
     da0 = (jnp.log(cfg.init_step_size), jnp.log(cfg.init_step_size), 0.0)
-    (_, da_final, _), (qs, alphas) = jax.lax.scan(
+    (_, da_final, _), (qs, alphas, divs) = jax.lax.scan(
         draw, (q0_vec, da0, jnp.asarray(0, jnp.int32)), keys
     )
     qs = qs[cfg.n_warmup :]
@@ -202,5 +204,42 @@ def nuts_sample(
     stats = {
         "accept_stat": jnp.mean(alphas[cfg.n_warmup :]),
         "step_size": jnp.exp(da_final[1]),
+        "divergences": jnp.sum(divs[cfg.n_warmup :].astype(jnp.int32)),
     }
     return samples, stats
+
+
+def nuts_sample_chains(
+    log_prob_fn: Callable[[Any], jax.Array],
+    init_position: Any,
+    key: jax.Array,
+    config: NUTSConfig = NUTSConfig(),
+    n_chains: int = 4,
+    jitter: float = 0.1,
+):
+    """``n_chains`` independent NUTS chains via vmap (over-dispersed
+    jittered starts); every output leaf gains a leading ``(n_chains,)``
+    axis, ready for :mod:`whvi_tpu.mcmc.diagnostics`."""
+    k_init, k_run = jax.random.split(key)
+    leaves, treedef = jax.tree.flatten(init_position)
+    init_keys = jax.random.split(k_init, n_chains * len(leaves)).reshape(
+        n_chains, len(leaves), 2
+    )
+
+    def _jittered(c):
+        return jax.tree.unflatten(
+            treedef,
+            [
+                l
+                + jitter * jax.random.normal(init_keys[c, i], l.shape, l.dtype)
+                for i, l in enumerate(leaves)
+            ],
+        )
+
+    inits = jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[_jittered(c) for c in range(n_chains)]
+    )
+    run_keys = jax.random.split(k_run, n_chains)
+    return jax.vmap(
+        lambda q0, k: nuts_sample(log_prob_fn, q0, k, config)
+    )(inits, run_keys)

@@ -24,6 +24,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 __all__ = ["Benchmark", "timed", "trace", "chain_time"]
 
@@ -73,18 +74,29 @@ def trace(log_dir: str = "/tmp/whvi_trace"):
 def chain_time(fn: Callable, x, iters: int = 200, reps: int = 3) -> float:
     """Per-application seconds of ``x -> fn(x)`` over an on-device
     dependent chain, difference-timed (t(2N) - t(N)) to cancel fixed
-    dispatch/fetch latency."""
+    dispatch/fetch latency.
+
+    Completion is forced by FETCHING a full on-device reduction of the
+    final iterate — ``block_until_ready`` does not reliably block on the
+    remote-tunnel TPU backend (CLAUDE.md) and was measured returning up
+    to ~1.6x early for XLA-only chains (round-2 re-measurement); the
+    scalar fetch is the only trustworthy sync. The reduction runs once
+    per *chain*, so its cost amortizes to ~nothing per iteration and
+    cancels in the difference anyway."""
 
     @functools.partial(jax.jit, static_argnames="n")
     def chained(v, n):
-        return jax.lax.fori_loop(0, n, lambda i, w: fn(w), v)
+        w = jax.lax.fori_loop(0, n, lambda i, w: fn(w), v)
+        return jax.tree.reduce(
+            lambda acc, l: acc + jnp.sum(l), w, jnp.zeros(())
+        )
 
     def run(n):
-        chained(x, n).block_until_ready()
+        float(chained(x, n))
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            chained(x, n).block_until_ready()
+            float(chained(x, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
