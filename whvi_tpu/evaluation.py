@@ -77,6 +77,9 @@ class ProtocolConfig:
     # "pad" (one padded square block, full mixing — higher capacity for
     # very rectangular first/last layers; weights.PaddedSquareMatrix)
     rect_mode: str = "stack"
+    # deterministic bias vectors on every WHVI layer (the reference
+    # supports but never enables them; see mlp_layers docstring)
+    bias: bool = False
     # drop the KL term entirely (MAP-with-noise ablation; reference
     # loss(..., ignore_kl) switch)
     ignore_kl: bool = False
@@ -89,9 +92,15 @@ def evaluate_bayesian_regression(
     config: ProtocolConfig = ProtocolConfig(),
     ckpt_dir: str | None = None,
     log_fn: Callable[[dict], None] | None = None,
+    mesh=None,
 ) -> dict:
     """Run the full protocol; returns mean/sd of RMSE and MNLL across
-    splits plus per-split details (reference evaluation.py:66-108)."""
+    splits plus per-split details (reference evaluation.py:66-108).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ``(data, sample)``
+    axes — the whole protocol then trains through the SPMD sharded
+    MC-ELBO (``train_samples`` must divide the sample axis;
+    see Trainer)."""
     X = np.asarray(X, np.float32)
     y = np.asarray(y, np.float32)
     y = y if y.ndim > 1 else y[:, None]
@@ -122,6 +131,7 @@ def evaluate_bayesian_regression(
                 lambda_last=config.lambda_last,
                 activation=None,
                 rect_mode=config.rect_mode,
+                bias=config.bias,
             ),
             sigma0=config.sigma0,
             train_samples=config.train_samples,
@@ -159,7 +169,7 @@ def evaluate_bayesian_regression(
                 total * steps_per_epoch * config.kl_warmup_frac
             ),
         )
-        trainer = Trainer(net, tcfg)
+        trainer = Trainer(net, tcfg, mesh=mesh)
         state = trainer.init(jax.random.PRNGKey(config.seed * 1000 + split))
         split_dir = (
             os.path.join(ckpt_dir, f"split-{split}") if ckpt_dir else None

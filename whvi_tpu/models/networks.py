@@ -160,6 +160,7 @@ def mlp_layers(
     lambda_last: float = 1e-5,
     activation=None,
     rect_mode: str = "stack",
+    bias: bool = False,
 ) -> list:
     """The reference UCI architecture builder: WHVI MLP with ReLU hidden
     activations, prior variance ``lambda_hidden`` on hidden layers and
@@ -167,6 +168,10 @@ def mlp_layers(
     ``rect_mode`` selects the non-square construction: "stack" =
     reference block-stacking semantics, "pad" = one padded square block
     with full input/output mixing (see weights.PaddedSquareMatrix).
+    ``bias`` adds deterministic bias vectors (the reference supports but
+    never enables them, layers.py:20; without biases a ReLU MLP is
+    positively homogeneous — it is pinned to f(0) = 0 at the
+    standardized-feature mean, which matters for raw-unit targets).
     """
     from whvi_tpu.models.layers import WHVILinear, relu
 
@@ -175,11 +180,16 @@ def mlp_layers(
     layers: list = []
     for a, b in zip(dims[:-1], dims[1:]):
         layers.append(
-            WHVILinear(a, b, lambda_=lambda_hidden, rect_mode=rect_mode)
+            WHVILinear(
+                a, b, lambda_=lambda_hidden, rect_mode=rect_mode, bias=bias
+            )
         )
         layers.append(act)
     layers.append(
-        WHVILinear(dims[-1], n_out, lambda_=lambda_last, rect_mode=rect_mode)
+        WHVILinear(
+            dims[-1], n_out, lambda_=lambda_last, rect_mode=rect_mode,
+            bias=bias,
+        )
     )
     return layers
 

@@ -113,9 +113,36 @@ def sharded_loss_fn(
         out_specs=P(),
     )
 
-    def loss_fn(params, key, x, y, n, kl_scale=1.0):
+    def _local_weighted(params, keys, x, y, n, w):
+        # Weighted estimator with padding rows masked (weight 0): the
+        # numerator and the effective batch size are psum-reduced
+        # SEPARATELY so the result equals the single-device weighted
+        # estimator regardless of how the pad rows fall across shards.
+        keys = _fold_data_shard(keys)
+        y_hat = jax.vmap(lambda k: net.apply(params, x, k))(keys)
+        lp = net.likelihood.log_prob(
+            params["likelihood"], y, y_hat
+        )  # (S_local, B_local)
+        num = jax.lax.psum(
+            jnp.sum(lp * w[None, :]), ("data", "sample")
+        )
+        den = jax.lax.psum(jnp.sum(w), "data")
+        return -(n / (n_samples * den)) * num
+
+    local_weighted = jax.shard_map(
+        _local_weighted,
+        mesh=mesh,
+        in_specs=(P(), P("sample"), P("data"), P("data"), P(), P("data")),
+        out_specs=P(),
+    )
+
+    def loss_fn(params, key, x, y, n, kl_scale=1.0, weights=None):
         keys = jax.random.split(key, n_samples)
-        mnll = local(params, keys, x, y, jnp.asarray(n, jnp.float32))
+        n = jnp.asarray(n, jnp.float32)
+        if weights is None:
+            mnll = local(params, keys, x, y, n)
+        else:
+            mnll = local_weighted(params, keys, x, y, n, weights)
         kl = net.kl(params)
         loss = mnll if ignore_kl else mnll + kl_scale * kl
         return loss, {"mnll": mnll, "kl": kl}
