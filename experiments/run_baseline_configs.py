@@ -1,0 +1,186 @@
+"""Exercise the BASELINE.json configs that have no bundled dataset.
+
+Round-2 deliverable (VERDICT.md next-steps item 7): no config in
+BASELINE.json may remain unexercised. Two configs need synthetic data in
+this environment:
+
+- **Config 3** ("UCI protein/kin8nm: deeper WHVI MLP D=512,
+  heteroscedastic Gaussian likelihood, 64 MC samples"): the protein /
+  kin8nm downloads are env-blocked (zero egress), so the exact model
+  configuration runs on a synthetic heteroscedastic regression task
+  whose noise varies with the input — which is precisely what the
+  heteroscedastic head must learn. Reports RMSE / predictive MNLL /
+  calibration of the learned noise curve.
+- **Config 5** ("Large-D scaling: WHVI MLP D=8192, high-MC ELBO sharded
+  ... psum gradient reduction"): the end-to-end D=8192 training config at
+  high MC-sample count; single-chip throughput here, mesh scaling via
+  experiments/run_scaling.py --mesh (virtual devices) and the driver's
+  dryrun.
+
+Run: python experiments/run_baseline_configs.py [--cpu] [--quick]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _maybe_force_cpu():
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+_maybe_force_cpu()
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def synthetic_hetero_data(n=2048, d=16, seed=0):
+    """Regression with input-dependent noise: y = f(x) + s(x) * eps,
+    s(x) = 0.05 + 0.5 * sigmoid(3 x_0). The hetero head must recover
+    s(x); a homoscedastic model cannot."""
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, d).astype(np.float32)
+    f = np.sin(X[:, :4].sum(1)) + 0.5 * X[:, 4] * X[:, 5]
+    s = 0.05 + 0.5 / (1.0 + np.exp(-3.0 * X[:, 0]))
+    y = (f + s * rng.randn(n)).astype(np.float32)[:, None]
+    return X, y, s.astype(np.float32)
+
+
+def config3_deep_hetero(args):
+    """Deep D=512 heteroscedastic WHVI MLP (BASELINE config 3)."""
+    from whvi_tpu.models import (
+        HeteroscedasticGaussianLikelihood,
+        WHVINetwork,
+        mlp_layers,
+    )
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    X, y, s_true = synthetic_hetero_data()
+    n_tr = int(0.9 * len(X))
+    X_tr, X_te = X[:n_tr], X[n_tr:]
+    y_tr, y_te = y[:n_tr], y[n_tr:]
+    s_te = s_true[n_tr:]
+
+    hidden = (512, 512)
+    net = WHVINetwork(
+        layers=tuple(
+            mlp_layers(
+                X.shape[1], 2, hidden=hidden, lambda_hidden=3.0,
+                lambda_last=1e-5,
+            )
+        ),
+        likelihood=HeteroscedasticGaussianLikelihood(),
+        train_samples=1,
+        eval_samples=64,
+    )
+    epochs2 = 500 if args.quick else 5000
+    cfg = TrainConfig(
+        epochs1=100,
+        epochs2=epochs2,
+        epochs_per_call=min(500, epochs2),
+        batch_size=256,
+        kl_warmup_steps=2 * (epochs2 + 100),
+    )
+    tr = Trainer(net, cfg)
+    state = tr.init(jax.random.PRNGKey(args.seed))
+    t0 = time.time()
+    state, logs = tr.fit(state, X_tr, y_tr)
+    wall = time.time() - t0
+
+    m = tr.evaluate(state.params, X_te, y_te, jax.random.PRNGKey(1))
+    # RMSE of the predictive mean + noise-curve recovery
+    y_hat = jax.jit(
+        lambda p, x, k: net.predict(p, x, k, 64)
+    )(state.params, jnp.asarray(X_te), jax.random.PRNGKey(2))
+    mean, sigma = net.likelihood.split(y_hat)
+    pred = np.asarray(jnp.mean(mean, axis=0))[:, 0]
+    pred_sd = np.asarray(jnp.mean(sigma, axis=0))[:, 0]
+    rmse = float(np.sqrt(np.mean((pred - y_te[:, 0]) ** 2)))
+    noise_corr = float(np.corrcoef(pred_sd, s_te)[0, 1])
+    return {
+        "config": "baseline-3-deep-hetero-D512",
+        "hidden": list(hidden),
+        "rmse": rmse,
+        "pred_mnll_per_point": m.get("pred_mnll_per_point"),
+        "learned_noise_corr_with_true": noise_corr,
+        "epochs_per_s": (100 + epochs2) / wall,
+        "final_loss": logs[-1]["loss"],
+    }
+
+
+def config5_large_d(args):
+    """D=8192 WHVI MLP, high-MC ELBO step throughput (BASELINE config 5).
+
+    Single-chip part: ELBO steps/s and posterior-samples/s at high MC
+    counts; the mesh-scaling part runs in run_scaling.py / the driver's
+    multichip dryrun (no multi-chip slice in this environment).
+    """
+    from whvi_tpu.models import WHVILinear, WHVIRegression, relu
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    D = 2048 if args.quick else 8192
+    S = 8 if args.quick else 64
+    B = 64 if args.quick else 256
+    net = WHVIRegression(
+        [
+            WHVILinear(D, D, lambda_=3.0, s_init="auto"),
+            relu,
+            WHVILinear(D, D, lambda_=3.0, s_init="auto"),
+            relu,
+            WHVILinear(D, 1, s_init="auto"),
+        ],
+        train_samples=S,
+    )
+    rng = np.random.RandomState(0)
+    X = rng.randn(B, D).astype(np.float32)
+    y = rng.randn(B, 1).astype(np.float32)
+    steps = 10 if args.quick else 30
+    cfg = TrainConfig(
+        epochs1=0, epochs2=steps, epochs_per_call=steps, batch_size=B
+    )
+    tr = Trainer(net, cfg)
+    state = tr.init(jax.random.PRNGKey(0))
+    state, _ = tr.fit(state, X, y)  # compile+warm
+    t0 = time.time()
+    state, logs = tr.fit(state, X, y, resume=False)
+    wall = time.time() - t0
+    steps_per_s = steps / wall
+    return {
+        "config": "baseline-5-largeD-highMC",
+        "D": D,
+        "mc_samples": S,
+        "batch": B,
+        "elbo_steps_per_s": steps_per_s,
+        "posterior_samples_per_s": steps_per_s * S * B,
+        "final_loss": logs[-1]["loss"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--skip", nargs="*", default=[])
+    args = ap.parse_args()
+    out = []
+    if "3" not in args.skip:
+        out.append(config3_deep_hetero(args))
+        print(json.dumps(out[-1]), flush=True)
+    if "5" not in args.skip:
+        out.append(config5_large_d(args))
+        print(json.dumps(out[-1]), flush=True)
+
+
+if __name__ == "__main__":
+    main()

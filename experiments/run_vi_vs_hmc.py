@@ -1,0 +1,318 @@
+"""Golden-sampler validation study: VI vs HMC/NUTS vs exact posterior.
+
+Round-2 deliverable (VERDICT.md missing #3/#4): turn the "HMC validates
+VI" claim into a quantitative verdict with convergence diagnostics.
+
+Three tiers:
+
+1. **Analytic tier** — a single square WHVI layer is LINEAR in ``g``:
+   ``y = W(g) x = diag(s1) H diag(g) H (s2 * x) = M(x) g`` with
+   ``M(x) = diag(s1) H diag(H (s2*x))``. With a Gaussian likelihood and
+   the ``N(0, lambda I)`` prior, the posterior over g is an EXACT
+   multivariate Gaussian: ``Lambda = X^T X-style normal equations``.
+   This gives three ground truths at once:
+     - NUTS moments must match the exact posterior (sampler correctness);
+     - the mean-field VI optimum is known in closed form for a Gaussian
+       target: q matches the exact MEAN, and its variances are the
+       inverse precision DIAGONAL, ``1/Lambda_ii`` — an UNDERestimate of
+       the exact marginal variance ``(Lambda^-1)_ii`` whenever the
+       posterior is correlated. The trained VI must land on THAT, which
+       turns the round-1 "2-3x sd mismatch" from an anomaly into a
+       measured, theory-matched property of mean-field WHVI.
+2. **Nonlinear tier** — small WHVI MLP on a yacht subset (or synthetic
+   fallback): 4-chain NUTS over the per-layer g posterior with R-hat /
+   ESS / divergence gates, then the per-layer VI-vs-NUTS moment table.
+3. Verdict JSON: every gate explicit (rhat_max < 1.01, ess_min > 100
+   per chain equivalent, divergences == 0).
+
+Run:  python experiments/run_vi_vs_hmc.py [--cpu] [--out results.json]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _maybe_force_cpu():
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+_maybe_force_cpu()
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from whvi_tpu.mcmc import (
+    NUTSConfig,
+    ess,
+    make_whvi_g_log_posterior,
+    nuts_sample_chains,
+    split_rhat,
+)
+from whvi_tpu.models import (
+    GaussianLikelihood,
+    SquarePow2Matrix,
+    WHVILinear,
+    WHVINetwork,
+    WHVIRegression,
+    mlp_layers,
+    relu,
+)
+from whvi_tpu.ops.hadamard import build_H, kl_diag_normal
+
+
+# ------------------------------------------------------------ analytic tier
+
+
+def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
+    """Exact Gaussian posterior vs NUTS vs trained mean-field VI."""
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    layer = SquarePow2Matrix(D, lambda_=lam, s_init="auto")
+    p0 = layer.init(k1)
+    s1, s2 = p0["s1"], p0["s2"]
+    X = jax.random.normal(k2, (n, D))
+    g_true = jax.random.normal(k3, (D,)) * jnp.sqrt(lam)
+    H = build_H(D)
+
+    def design(x):  # M(x): y = M(x) g
+        return s1[:, None] * H * (H @ (s2 * x))[None, :]
+
+    M = jax.vmap(design)(X)  # (n, D, D)
+    y = jnp.einsum("nij,j->ni", M, g_true)
+    y = y + sigma * jax.random.normal(k4, y.shape)
+
+    # exact Gaussian posterior over g
+    Lam = jnp.eye(D) / lam + jnp.einsum("nij,nik->jk", M, M) / sigma**2
+    Sigma = jnp.linalg.inv(Lam)
+    mu = Sigma @ (jnp.einsum("nij,ni->j", M, y) / sigma**2)
+    exact_sd = jnp.sqrt(jnp.diag(Sigma))
+    # the mean-field optimum against a Gaussian: same mean, variances =
+    # inverse precision DIAGONAL (Bishop 10.1.2)
+    mf_sd = 1.0 / jnp.sqrt(jnp.diag(Lam))
+
+    # --- NUTS on the exact target
+    def logp(q):
+        g = q["g"]
+        r = y - jnp.einsum("nij,j->ni", M, g)
+        return (
+            -0.5 * jnp.sum(jnp.square(r)) / sigma**2
+            - 0.5 * jnp.sum(jnp.square(g)) / lam
+        )
+
+    samples, stats = nuts_sample_chains(
+        logp,
+        {"g": jnp.zeros(D)},
+        k5,
+        NUTSConfig(n_samples=1000, n_warmup=500, max_tree_depth=6),
+        n_chains=4,
+    )
+    gs = samples["g"]  # (4, 1000, D)
+    nuts_mean = jnp.mean(gs, axis=(0, 1))
+    nuts_sd = jnp.std(gs, axis=(0, 1))
+
+    # --- mean-field VI trained on the same model (s1, s2, sigma frozen)
+    def elbo_loss(qp, key):
+        g_sigma = jax.nn.softplus(qp["g_rho"])
+        eps = jax.random.normal(key, (8, D))
+        g = qp["g_mu"][None] + g_sigma[None] * eps  # (S, D)
+        r = y[None] - jnp.einsum("nij,sj->sni", M, g)
+        ll = -0.5 * jnp.sum(jnp.square(r), axis=(1, 2)) / sigma**2 - (
+            y.size * 0.5 * jnp.log(2 * jnp.pi * sigma**2)
+        )
+        kl = kl_diag_normal(qp["g_mu"], g_sigma, 0.0, jnp.sqrt(lam))
+        return -(jnp.mean(ll) - kl)
+
+    qp = {"g_mu": jnp.zeros(D), "g_rho": jnp.full((D,), -2.5)}
+    tx = optax.adam(1e-2)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames="steps")
+    def vi_fit(qp, key, steps):
+        def body(carry, k):
+            qp, opt = carry
+            loss, grads = jax.value_and_grad(elbo_loss)(qp, k)
+            upd, opt = tx.update(grads, opt, qp)
+            return (optax.apply_updates(qp, upd), opt), loss
+
+        keys = jax.random.split(key, steps)
+        (qp, _), losses = jax.lax.scan(body, (qp, tx.init(qp)), keys)
+        return qp, losses
+
+    qp, losses = vi_fit(qp, jax.random.PRNGKey(seed + 1), n_vi_steps)
+    vi_mean = qp["g_mu"]
+    vi_sd = jax.nn.softplus(qp["g_rho"])
+
+    def corr(a, b):
+        a = np.asarray(a) - np.mean(np.asarray(a))
+        b = np.asarray(b) - np.mean(np.asarray(b))
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    rhat = float(jnp.max(split_rhat(gs)))
+    n_eff = float(jnp.min(ess(gs)))
+    out = {
+        "D": D,
+        "n": n,
+        "nuts": {
+            "rhat_max": rhat,
+            "ess_min": n_eff,
+            "divergences": int(jnp.sum(stats["divergences"])),
+            "mean_rmse_vs_exact": float(
+                jnp.sqrt(jnp.mean(jnp.square(nuts_mean - mu)))
+            ),
+            "sd_ratio_vs_exact_mean": float(jnp.mean(nuts_sd / exact_sd)),
+        },
+        "vi": {
+            "mean_corr_vs_exact": corr(vi_mean, mu),
+            "mean_rmse_vs_exact": float(
+                jnp.sqrt(jnp.mean(jnp.square(vi_mean - mu)))
+            ),
+            # the two sd comparisons that EXPLAIN the mean-field gap:
+            "sd_ratio_vs_exact_marginal": float(jnp.mean(vi_sd / exact_sd)),
+            "sd_ratio_vs_meanfield_optimum": float(jnp.mean(vi_sd / mf_sd)),
+        },
+        # how correlated the exact posterior is (drives the mf gap)
+        "exact_meanfield_sd_deficit": float(jnp.mean(mf_sd / exact_sd)),
+        "final_elbo": float(-losses[-1]),
+    }
+    return out
+
+
+# ----------------------------------------------------------- nonlinear tier
+
+
+def nonlinear_tier(seed=0, n_train=64, epochs=12000):
+    """Small WHVI MLP: train VI, then 4-chain NUTS over the g posterior."""
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    # data: yacht subset if available, else smooth synthetic
+    try:
+        from whvi_tpu.data.uci import load_uci
+
+        X, y = load_uci("yacht")
+        rng = np.random.RandomState(seed)
+        idx = rng.permutation(len(X))[:n_train]
+        X = X[idx].astype(np.float32)
+        y = y[idx].astype(np.float32)[:, None]
+        X = (X - X.mean(0)) / (X.std(0) + 1e-8)
+        y = (y - y.mean(0)) / (y.std(0) + 1e-8)
+        source = "yacht"
+    except Exception:
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n_train, 6).astype(np.float32)
+        y = np.sin(X.sum(1, keepdims=True)).astype(np.float32)
+        source = "synthetic"
+
+    net = WHVIRegression(
+        [
+            WHVILinear(6, 16, lambda_=1.0, s_init="auto"),
+            relu,
+            WHVILinear(16, 16, lambda_=1.0, s_init="auto"),
+            relu,
+            WHVILinear(16, 1, lambda_=1.0, s_init="auto"),
+        ],
+        sigma0=0.3,
+        train_samples=4,
+    )
+    cfg = TrainConfig(
+        epochs1=200,
+        epochs2=epochs,
+        epochs_per_call=2000,
+        batch_size=64,
+        kl_warmup_steps=epochs // 10,
+    )
+    tr = Trainer(net, cfg)
+    state = tr.init(jax.random.PRNGKey(seed))
+    state, logs = tr.fit(state, X, y)
+    params = state.params
+
+    logp, init = make_whvi_g_log_posterior(net, params, X, y)
+    samples, stats = nuts_sample_chains(
+        logp,
+        init,
+        jax.random.PRNGKey(seed + 7),
+        NUTSConfig(n_samples=1500, n_warmup=1000, max_tree_depth=7),
+        n_chains=4,
+    )
+
+    per_layer = {}
+    bayes = [i for i, l in enumerate(net.layers) if hasattr(l, "matrix")]
+    for i in bayes:
+        gs = samples[i]  # (C, N, *g_shape)
+        lp = params["layers"][i]
+        vi_mu = np.asarray(lp["g_mu"]).ravel()
+        vi_sd = np.asarray(jax.nn.softplus(lp["g_rho"])).ravel()
+        hmc_mu = np.asarray(jnp.mean(gs, axis=(0, 1))).ravel()
+        hmc_sd = np.asarray(jnp.std(gs, axis=(0, 1))).ravel()
+        a = vi_mu - vi_mu.mean()
+        b = hmc_mu - hmc_mu.mean()
+        per_layer[f"layer{i}"] = {
+            "dim": int(vi_mu.size),
+            "rhat_max": float(jnp.max(split_rhat(gs))),
+            "ess_min": float(jnp.min(ess(gs))),
+            "mu_corr": float(
+                a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+            ),
+            "mu_rmse": float(np.sqrt(np.mean((vi_mu - hmc_mu) ** 2))),
+            "sd_ratio_vi_over_hmc": float(np.mean(vi_sd / (hmc_sd + 1e-12))),
+            "vi_sd_mean": float(vi_sd.mean()),
+            "hmc_sd_mean": float(hmc_sd.mean()),
+        }
+
+    return {
+        "source": source,
+        "n_train": n_train,
+        "final_train_loss": logs[-1]["loss"],
+        "noise_sigma": float(
+            jax.nn.softplus(params["likelihood"]["rho"])
+        ),
+        "divergences": int(jnp.sum(stats["divergences"])),
+        "per_layer": per_layer,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--skip-nonlinear", action="store_true")
+    ap.add_argument("--epochs", type=int, default=12000)
+    args = ap.parse_args()
+
+    results = {"analytic": analytic_tier()}
+    a = results["analytic"]
+    gates = {
+        "nuts_rhat_ok": a["nuts"]["rhat_max"] < 1.01,
+        "nuts_ess_ok": a["nuts"]["ess_min"] > 400,  # 100 per chain
+        "nuts_divergence_free": a["nuts"]["divergences"] == 0,
+        "nuts_matches_exact_sd": abs(a["nuts"]["sd_ratio_vs_exact_mean"] - 1)
+        < 0.1,
+        "vi_mean_matches_exact": a["vi"]["mean_corr_vs_exact"] > 0.99,
+        "vi_sd_matches_meanfield_theory": abs(
+            a["vi"]["sd_ratio_vs_meanfield_optimum"] - 1
+        )
+        < 0.15,
+    }
+    results["analytic_gates"] = gates
+
+    if not args.skip_nonlinear:
+        results["nonlinear"] = nonlinear_tier(epochs=args.epochs)
+
+    print(json.dumps(results, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
