@@ -75,6 +75,16 @@ def main():
         help="drop the KL term (MAP-with-noise capacity probe; reference "
         "loss(..., ignore_kl) switch)",
     )
+    ap.add_argument(
+        "--reference-exact",
+        action="store_true",
+        help="the reference's exact protocol settings (evaluation.py:15-47"
+        " + weights.py:29-32): s_init=0.01, no KL warmup, sigma0=1, "
+        "stacked non-square layers, 1 train MC sample, shared batch "
+        "noise, no bias, X standardized on the FULL dataset. Overrides "
+        "the corresponding flags; for the faithful-protocol rows "
+        "published next to tuned ones",
+    )
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
 
@@ -84,6 +94,16 @@ def main():
         return
 
     X, y = load_uci(args.dataset)
+    if args.reference_exact:
+        args.s_init = "0.01"
+        args.kl_warmup_frac = 0.0
+        args.sigma0 = 1.0
+        args.rect_mode = "stack"
+        args.train_samples = 1
+        args.per_example_noise = False
+        args.bias = False
+        args.normalize_y = False
+        args.heteroscedastic = False
     cfg = ProtocolConfig(
         n_splits=args.splits,
         epochs1=args.epochs1,

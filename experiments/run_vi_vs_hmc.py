@@ -192,7 +192,7 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
 # ----------------------------------------------------------- nonlinear tier
 
 
-def nonlinear_tier(seed=0, n_train=64, epochs=12000):
+def nonlinear_tier(seed=0, n_train=128, epochs=20000):
     """Small WHVI MLP: train VI, then 4-chain NUTS over the g posterior."""
     from whvi_tpu.train import TrainConfig, Trainer
 
@@ -214,14 +214,20 @@ def nonlinear_tier(seed=0, n_train=64, epochs=12000):
         y = np.sin(X.sum(1, keepdims=True)).astype(np.float32)
         source = "synthetic"
 
+    # bias + per-example noise + warmup: the recipe that avoids the
+    # posterior-collapse local optimum (see the yacht study in
+    # docs/RESULTS.md; without it the ELBO parks at posterior == prior
+    # with sigma -> data sd, and the VI-vs-NUTS comparison is vacuous)
+    import dataclasses as _dc
+
+    def _lin(a, b):
+        return WHVILinear(
+            a, b, lambda_=1.0, s_init="auto", bias=True,
+            per_example_noise=True,
+        )
+
     net = WHVIRegression(
-        [
-            WHVILinear(6, 16, lambda_=1.0, s_init="auto"),
-            relu,
-            WHVILinear(16, 16, lambda_=1.0, s_init="auto"),
-            relu,
-            WHVILinear(16, 1, lambda_=1.0, s_init="auto"),
-        ],
+        [_lin(6, 16), relu, _lin(16, 16), relu, _lin(16, 1)],
         sigma0=0.3,
         train_samples=4,
     )
@@ -230,7 +236,7 @@ def nonlinear_tier(seed=0, n_train=64, epochs=12000):
         epochs2=epochs,
         epochs_per_call=2000,
         batch_size=64,
-        kl_warmup_steps=epochs // 10,
+        kl_warmup_steps=(epochs * 3) // 10,
     )
     tr = Trainer(net, cfg)
     state = tr.init(jax.random.PRNGKey(seed))

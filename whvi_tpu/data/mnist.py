@@ -16,7 +16,12 @@ import struct
 
 import numpy as np
 
-__all__ = ["load_mnist", "synthetic_classification", "mnist_available"]
+__all__ = [
+    "load_mnist",
+    "load_digits_classification",
+    "synthetic_classification",
+    "mnist_available",
+]
 
 _SEARCH_DIRS = [
     os.environ.get("WHVI_DATA_DIR", ""),
@@ -103,3 +108,22 @@ def synthetic_classification(
         return X.astype(np.float32), y
 
     return make(n_train), make(n_test)
+
+
+def load_digits_classification(test_frac: float = 0.2, seed: int = 0):
+    """REAL classification data available offline: scikit-learn's bundled
+    8x8 handwritten-digits set (1797 samples, 10 classes, UCI Optical
+    Recognition of Handwritten Digits). Used to validate the Bayesian
+    classifier on real data when the full MNIST IDX files are absent
+    (zero-egress environment). Returns ((X_tr, y_tr), (X_te, y_te)),
+    X in [0, 1] float32, flattened 64-dim."""
+    from sklearn.datasets import load_digits
+
+    d = load_digits()
+    X = (d.data / 16.0).astype(np.float32)
+    y = d.target.astype(np.int32)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(X))
+    n_te = int(round(test_frac * len(X)))
+    te, tr = perm[:n_te], perm[n_te:]
+    return (X[tr], y[tr]), (X[te], y[te])
