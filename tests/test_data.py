@@ -43,7 +43,9 @@ def test_synthetic_classification():
 
 def test_uci_registry_complete():
     # every dataset family the reference ships runners for, plus protein
+    # and the sklearn-bundled diabetes extra (round 2)
     assert set(UCI_DATASETS) == {
+        "diabetes",
         "boston",
         "concrete",
         "energy",
@@ -77,3 +79,24 @@ def test_dataset_info_unavailable_is_graceful():
 def test_unknown_dataset_raises():
     with pytest.raises(KeyError):
         load_uci("nope")
+
+
+def test_diabetes_loader_real_offline():
+    # sklearn-bundled real regression data (round-2 coverage extension)
+    from whvi_tpu.data.uci import load_uci
+
+    X, y = load_uci("diabetes")
+    assert X.shape == (442, 10) and y.shape == (442, 1)
+    assert float(y.mean()) > 100.0  # raw units, not standardized
+
+
+def test_digits_loader_real_offline():
+    from whvi_tpu.data.mnist import load_digits_classification
+
+    (Xtr, ytr), (Xte, yte) = load_digits_classification(seed=3)
+    assert Xtr.shape[1] == 64 and Xte.shape[1] == 64
+    assert set(np.unique(ytr)) == set(range(10))
+    assert 0.0 <= Xtr.min() and Xtr.max() <= 1.0
+    # deterministic split per seed
+    (Xtr2, _), _ = load_digits_classification(seed=3)
+    np.testing.assert_array_equal(Xtr, Xtr2)

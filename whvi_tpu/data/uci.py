@@ -118,6 +118,18 @@ def load_protein():
     return X, y
 
 
+def load_diabetes_sk():
+    """Diabetes progression (Efron et al.): 442 x 10 -> 1. Bundled with
+    scikit-learn, so it is a REAL regression dataset available in this
+    zero-egress environment — an extension beyond the reference's six
+    runners that lets the protocol be measured on more than three real
+    datasets here. Raw (unstandardized-target) units."""
+    from sklearn.datasets import load_diabetes
+
+    d = load_diabetes(scaled=False)
+    return d.data.astype(np.float32), d.target.astype(np.float32)[:, None]
+
+
 UCI_DATASETS = {
     "boston": load_boston,
     "concrete": load_concrete,
@@ -126,6 +138,8 @@ UCI_DATASETS = {
     "kin8nm": load_kin8nm,
     "naval": load_naval,
     "protein": load_protein,
+    # real offline extra (not in the reference's six)
+    "diabetes": load_diabetes_sk,
 }
 
 
