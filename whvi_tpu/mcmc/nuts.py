@@ -216,11 +216,20 @@ def nuts_sample_chains(
     config: NUTSConfig = NUTSConfig(),
     n_chains: int = 4,
     jitter: float = 0.1,
+    inits=None,
 ):
     """``n_chains`` independent NUTS chains via vmap (over-dispersed
     jittered starts); every output leaf gains a leading ``(n_chains,)``
     axis, ready for :mod:`whvi_tpu.mcmc.diagnostics`."""
     k_init, k_run = jax.random.split(key)
+    if inits is not None:
+        # explicit per-chain starts (pytree with leading n_chains axis),
+        # e.g. draws from a trained q for mode-local validation of a
+        # multimodal BNN posterior
+        run_keys = jax.random.split(k_run, n_chains)
+        return jax.vmap(
+            lambda q0, k: nuts_sample(log_prob_fn, q0, k, config)
+        )(inits, run_keys)
     leaves, treedef = jax.tree.flatten(init_position)
     init_keys = jax.random.split(k_init, n_chains * len(leaves)).reshape(
         n_chains, len(leaves), 2
