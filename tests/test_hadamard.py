@@ -268,3 +268,20 @@ def test_matmul_diag_helpers():
             np.diag(np.asarray(db[i])) @ np.asarray(Ab[i]),
             rtol=1e-6,
         )
+
+
+def test_fwht_kron_bf16_precision_mode():
+    # precision="bf16": H factors stored exact in bf16, activations round
+    # to bf16 at each MXU operand, fp32 accumulation — small relative
+    # error, fp32 output dtype.
+    from whvi_tpu.ops.hadamard import build_H, fwht_kron
+
+    for D in (64, 512):
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, D))
+        lo = fwht_kron(x, precision="bf16")
+        oracle = x @ build_H(D)
+        assert lo.dtype == x.dtype
+        rel = float(
+            jnp.max(jnp.abs(lo - oracle)) / jnp.max(jnp.abs(oracle))
+        )
+        assert rel < 2e-2, rel

@@ -161,7 +161,9 @@ def fwht_factors(D: int, max_factor: int = 128) -> tuple[int, ...]:
     return tuple(factors) if factors else (1,)
 
 
-def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
+def fwht_kron(
+    x: jax.Array, max_factor: int = 128, precision: str = "highest"
+) -> jax.Array:
     """FWHT along the last axis via MXU-friendly Kronecker-factor matmuls.
 
     Reshapes ``(..., D)`` to ``(..., f0, f1, ..., fk)`` and contracts each
@@ -169,6 +171,13 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
     inputs are exact; accumulation is forced to float32 via
     ``preferred_element_type``). On TPU every contraction maps onto the
     MXU; for ``D <= 128`` this is a single small matmul.
+
+    ``precision="highest"`` keeps the factors in the accumulation dtype
+    (full fp32 matmuls). ``precision="bf16"`` stores the H factors as
+    bfloat16 — exact, they are +-1 — so fp32 activations round to bf16
+    inside the MXU with fp32 accumulation (~4e-3 relative error per
+    transform, the same tradeoff the fused Pallas kernel makes; on v5e
+    fp32 MXU passes cost ~3x bf16).
 
     This replaces the reference's CUDA radix-4 shared-memory kernel
     (src/fwht/cuda/fwht_cuda_kernel.cu:75-146), which is launch-limited to
@@ -181,23 +190,30 @@ def fwht_kron(x: jax.Array, max_factor: int = 128) -> jax.Array:
     # dtype (so float64 oracles/grad-checks stay exact)
     dtype = x.dtype
     acc = jnp.float32 if dtype.itemsize <= 4 else dtype
+    h_dtype = jnp.bfloat16 if precision == "bf16" else acc
     if len(factors) == 1:
-        H = build_H(D, acc)
-        return jnp.matmul(x, H, preferred_element_type=acc).astype(dtype)
+        H = build_H(D, h_dtype)
+        return jax.lax.dot_general(
+            x.astype(h_dtype),
+            H,
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=acc,
+        ).astype(dtype)
     batch = x.shape[:-1]
     x = x.reshape(batch + factors)
     nb = len(batch)
     for i, f in enumerate(factors):
-        H = build_H(f, acc)
+        H = build_H(f, h_dtype)
         axis = nb + i
         # Contract axis `axis` with H; tensordot puts the contracted axis
         # last, so move it back to keep the logical index layout. The
         # intermediate stays in the accumulation dtype across the whole
         # factor chain (rounding to bf16 between stages would compound:
-        # one final cast below instead).
+        # one final cast below instead). In bf16 mode only the MXU
+        # *operands* round; accumulation stays fp32.
         x = jnp.moveaxis(
             jax.lax.dot_general(
-                x,
+                x.astype(h_dtype) if h_dtype != acc else x,
                 H,
                 dimension_numbers=(((axis,), (0,)), ((), ())),
                 preferred_element_type=acc,
