@@ -86,8 +86,17 @@ def main():
 
     from whvi_tpu.ops import whvi_mul
     from whvi_tpu.ops.fwht_pallas import whvi_mul_pallas
+    from whvi_tpu.ops.hadamard import fwht_kron
 
     f_jnp = whvi_mul
+
+    def f_jnp16(s1, u, s2, x):
+        # XLA Kronecker path with bf16 MXU operands / fp32 accumulation —
+        # the same precision tradeoff the Pallas kernel makes
+        return s1 * fwht_kron(
+            u * fwht_kron(s2 * x, precision="bf16"), precision="bf16"
+        )
+
     f_pal = lambda a, b, c, d: whvi_mul_pallas(a, b, c, d, False)
 
     print(f"backend={jax.default_backend()} device={jax.devices()[0]}")
@@ -123,6 +132,7 @@ def main():
         ).astype(jnp.float32)
         c1, c2, c3 = sgn(sk[0]), sgn(sk[1]), sgn(sk[2])
         t_j = chain_time(f_jnp, c1, c2, c3, x, args.iters)
+        t_j16 = chain_time(f_jnp16, c1, c2, c3, x, args.iters)
         t_p = chain_time(f_pal, c1, c2, c3, x, args.iters)
         bytes_moved = 2 * B * D * 4
         row = {
@@ -130,10 +140,13 @@ def main():
             "B": B,
             "rel_err": round(err, 5),
             "jnp_us": round(t_j * 1e6, 1),
+            "jnp_bf16_us": round(t_j16 * 1e6, 1),
             "pallas_us": round(t_p * 1e6, 1),
             "jnp_GBps": round(bytes_moved / t_j / 1e9, 1),
+            "jnp_bf16_GBps": round(bytes_moved / t_j16 / 1e9, 1),
             "pallas_GBps": round(bytes_moved / t_p / 1e9, 1),
             "speedup": round(t_j / t_p, 2),
+            "speedup_vs_bf16": round(t_j16 / t_p, 2),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
