@@ -228,12 +228,18 @@ def nonlinear_tier(seed=0, n_train=128, epochs=20000):
 
     net = WHVIRegression(
         [_lin(6, 16), relu, _lin(16, 16), relu, _lin(16, 1)],
-        sigma0=0.3,
+        sigma0=0.2,
         train_samples=4,
     )
+    # Freeze the likelihood noise at sigma0 for the WHOLE run (all
+    # epochs in phase 1): letting sigma shrink to the ~0.02 the yacht
+    # subset supports makes the g posterior so sharp that NUTS chains
+    # cannot move (measured ESS -> 2); with sigma fixed at 0.2 the
+    # target is well-conditioned and the VI and NUTS see the SAME
+    # posterior, which is all the validation needs.
     cfg = TrainConfig(
-        epochs1=200,
-        epochs2=epochs,
+        epochs1=epochs,
+        epochs2=0,
         epochs_per_call=2000,
         batch_size=64,
         kl_warmup_steps=(epochs * 3) // 10,
@@ -274,7 +280,12 @@ def nonlinear_tier(seed=0, n_train=128, epochs=20000):
         logp,
         init,
         jax.random.PRNGKey(seed + 7),
-        NUTSConfig(n_samples=1500, n_warmup=1000, max_tree_depth=7),
+        NUTSConfig(
+            n_samples=1500,
+            n_warmup=1500,
+            max_tree_depth=8,
+            target_accept=0.9,
+        ),
         n_chains=n_chains,
         inits=inits,
     )
