@@ -135,14 +135,17 @@ def make_fn(kernel, TB, D, dtype=jnp.float32, sem=None, io_dtype=None):
 def chain_time(f, s1, u, s2, x, iters):
     @functools.partial(jax.jit, static_argnames="n")
     def chained(x, n):
-        return jax.lax.fori_loop(0, n, lambda i, v: f(s1, u, s2, v), x)
+        y = jax.lax.fori_loop(0, n, lambda i, v: f(s1, u, s2, v), x)
+        # fetched reduction: block_until_ready is unreliable on the
+        # remote backend (see utils/profiling.chain_time)
+        return jnp.sum(y)
 
     def run(n):
-        chained(x, n).block_until_ready()
+        float(chained(x, n))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            chained(x, n).block_until_ready()
+            float(chained(x, n))
             best = min(best, time.perf_counter() - t0)
         return best
 
