@@ -130,3 +130,45 @@ def test_fwht_pallas_matches_dense(D):
     np.testing.assert_allclose(
         np.asarray(got), want, rtol=1e-4, atol=1e-3
     )
+
+
+def test_whvi_mul_pallas_backend_dispatch():
+    # Opt-in backend: whvi_mul routes eligible square products through the
+    # fused kernel (interpret mode off-TPU) and must match the XLA path
+    # within the kernel's bf16-operand tolerance; stacked (2-D diagonal)
+    # calls fall back to XLA untouched.
+    import numpy as np
+
+    from whvi_tpu.ops import whvi_mul
+    from whvi_tpu.ops.whvi_op import set_whvi_mul_backend
+
+    D = 64
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    s1 = jax.random.normal(ks[0], (D,)) * 0.1
+    u = jax.random.normal(ks[1], (D,)) * 0.1
+    s2 = jax.random.normal(ks[2], (D,)) * 0.1
+    x = jax.random.normal(ks[3], (5, D))
+    ref = whvi_mul(s1, u, s2, x)
+    try:
+        set_whvi_mul_backend("pallas")
+        y = whvi_mul(s1, u, s2, x)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(ref), rtol=2e-2, atol=2e-3
+        )
+        # 3-D activations (vmap-like leading axis) reshape through
+        y3 = whvi_mul(s1, u, s2, x.reshape(1, 5, D))
+        np.testing.assert_allclose(
+            np.asarray(y3[0]), np.asarray(ref), rtol=2e-2, atol=2e-3
+        )
+        # stacked diagonals: falls back to XLA exactly
+        s1s = jnp.stack([s1, s1])
+        us = jnp.stack([u, u])
+        s2s = jnp.stack([s2, s2])
+        ys = whvi_mul(s1s, us, s2s, x[:, None, :])
+        np.testing.assert_allclose(
+            np.asarray(ys[:, 0]), np.asarray(ref), rtol=1e-5, atol=1e-6
+        )
+    finally:
+        set_whvi_mul_backend("xla")
+    with __import__("pytest").raises(ValueError):
+        set_whvi_mul_backend("cuda")

@@ -25,6 +25,8 @@ to ``x[..., None, :]`` — no Python loop over blocks.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -34,7 +36,24 @@ __all__ = [
     "whvi_mul",
     "whvi_dense",
     "whvi_mul_dense_oracle",
+    "set_whvi_mul_backend",
 ]
+
+# "xla" (default): Kronecker-factor MXU matmuls, XLA-fused — fastest on
+# the measured v5e (the Pallas pipeline is DMA-bound there, see
+# docs/RESULTS.md round 2). "pallas": route eligible square products
+# through the fused Pallas kernel (opt-in; correct under vmap/grad, but
+# note vmapped pallas_call compiles very slowly over remote backends).
+# The choice is read at TRACE time: set it before building jitted fns.
+_BACKEND = os.environ.get("WHVI_MUL_BACKEND", "xla")
+
+
+def set_whvi_mul_backend(name: str) -> None:
+    """Select the whvi_mul compute path: "xla" or "pallas"."""
+    global _BACKEND
+    if name not in ("xla", "pallas"):
+        raise ValueError(f"backend must be 'xla' or 'pallas', got {name!r}")
+    _BACKEND = name
 
 
 def whvi_mul(
@@ -51,7 +70,23 @@ def whvi_mul(
       ``(..., D)`` (after broadcasting leading axes), same semantics as the
       reference's ``w_bar``-based products (src/weights.py:66-93) but with
       the paper-correct two-sided transform.
+
+    With the "pallas" backend selected (``set_whvi_mul_backend`` /
+    ``WHVI_MUL_BACKEND``), eligible calls — plain ``(D,)`` diagonals
+    (the square-matrix path), supported D — run through the fused
+    Pallas kernel; everything else falls back to the XLA path.
     """
+    if _BACKEND == "pallas" and jnp.ndim(s1) == 1 and jnp.ndim(u) == 1:
+        from whvi_tpu.ops.fwht_pallas import pallas_supported, whvi_mul_pallas
+
+        D = x.shape[-1]
+        if jnp.ndim(s2) == 1 and x.ndim >= 1 and pallas_supported(D):
+            interpret = jax.default_backend() != "tpu"
+            batch = x.shape[:-1]
+            y = whvi_mul_pallas(
+                s1, u, s2, x.reshape(-1, D), interpret
+            )
+            return y.reshape(batch + (D,))
     return s1 * fwht(u * fwht(s2 * x))
 
 
