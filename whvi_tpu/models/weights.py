@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from whvi_tpu.ops.hadamard import (
-    build_H,
+    build_H_rows,
     fwht,
     is_pow_of_2,
     kl_diag_normal,
@@ -323,7 +323,8 @@ class ColumnMatrix:
         """Column from an explicit ``g`` (MCMC path)."""
         D = self.D_adj
         n_rows = -(-self.n // D)
-        H_rows = build_H(D, g.dtype)[:n_rows]
+        # only the surviving rows of H — never the O(D^2) dense matrix
+        H_rows = build_H_rows(D, n_rows, g.dtype)
         rows = (
             params["s1"][:n_rows, None]
             * fwht(H_rows * g[None, :])

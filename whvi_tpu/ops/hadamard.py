@@ -50,6 +50,7 @@ __all__ = [
     "is_pow_of_2",
     "next_pow_of_2",
     "build_H",
+    "build_H_rows",
     "fwht",
     "fwht_butterfly",
     "fwht_kron",
@@ -116,6 +117,33 @@ def build_H(D: int, dtype=jnp.float32) -> jax.Array:
     dense materialization of small WHVI matrices.
     """
     return jnp.asarray(_H_np(D), dtype=dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _H_rows_np(D: int, n_rows: int) -> np.ndarray:
+    """First ``n_rows`` rows of ``H_D`` without materializing ``H_D``.
+
+    The column-matrix path needs O(n/D) rows of an up-to-8192-wide H;
+    building the full ``D x D`` matrix just to slice it embeds an
+    ``O(D^2)`` constant in the compiled program (268 MB at D=8192 —
+    enough to blow the remote-compile request limit on the tunnel
+    backend, HTTP 413)."""
+    if not is_pow_of_2(D):
+        raise ValueError(f"Hadamard dimension must be a power of 2, got {D}")
+    i = np.arange(n_rows, dtype=np.uint32)[:, None]
+    j = np.arange(D, dtype=np.uint32)[None, :]
+    anded = i & j
+    parity = np.zeros_like(anded)
+    v = anded.copy()
+    while v.any():
+        parity ^= v & 1
+        v >>= 1
+    return np.where(parity == 0, 1.0, -1.0).astype(np.float32)
+
+
+def build_H_rows(D: int, n_rows: int, dtype=jnp.float32) -> jax.Array:
+    """``H_D[:n_rows, :]`` via the bit trick — O(n_rows * D) memory."""
+    return jnp.asarray(_H_rows_np(D, n_rows), dtype=dtype)
 
 
 def fwht_butterfly(x: jax.Array) -> jax.Array:
