@@ -281,9 +281,9 @@ def nonlinear_tier(seed=0, n_train=128, epochs=20000):
         init,
         jax.random.PRNGKey(seed + 7),
         NUTSConfig(
-            n_samples=1500,
-            n_warmup=1500,
-            max_tree_depth=8,
+            n_samples=800,
+            n_warmup=800,
+            max_tree_depth=7,
             target_accept=0.9,
         ),
         n_chains=n_chains,
