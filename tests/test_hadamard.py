@@ -285,3 +285,14 @@ def test_fwht_kron_bf16_precision_mode():
             jnp.max(jnp.abs(lo - oracle)) / jnp.max(jnp.abs(oracle))
         )
         assert rel < 2e-2, rel
+
+
+def test_build_H_rows_matches_dense_slice():
+    # column path uses only the surviving rows — must equal the dense
+    # slice at every size including non-trivial row counts
+    from whvi_tpu.ops.hadamard import build_H, build_H_rows
+
+    for D, r in ((8, 3), (64, 1), (256, 5)):
+        np.testing.assert_array_equal(
+            np.asarray(build_H_rows(D, r)), np.asarray(build_H(D))[:r]
+        )
