@@ -192,7 +192,7 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
 # ----------------------------------------------------------- nonlinear tier
 
 
-def nonlinear_tier(seed=0, n_train=128, epochs=20000):
+def nonlinear_tier(seed=0, n_train=64, epochs=20000):
     """Small WHVI MLP: train VI, then 4-chain NUTS over the g posterior."""
     from whvi_tpu.train import TrainConfig, Trainer
 
@@ -226,9 +226,15 @@ def nonlinear_tier(seed=0, n_train=128, epochs=20000):
             per_example_noise=True,
         )
 
+    # deliberately SMALL: one hidden layer, 16 total g dims. Deeper
+    # models have posterior geometry (funnels + symmetry modes) that HMC
+    # cannot traverse reliably even mode-locally (measured: 500+
+    # divergences, ESS ~ 3 on a 48-dim 2-hidden-layer posterior); the
+    # quantitative VI-vs-sampler verdict needs a target the sampler
+    # provably handles — the gates below enforce that.
     net = WHVIRegression(
-        [_lin(6, 16), relu, _lin(16, 16), relu, _lin(16, 1)],
-        sigma0=0.2,
+        [_lin(6, 8), relu, _lin(8, 1)],
+        sigma0=0.3,
         train_samples=4,
     )
     # Freeze the likelihood noise at sigma0 for the WHOLE run (all
@@ -281,10 +287,10 @@ def nonlinear_tier(seed=0, n_train=128, epochs=20000):
         init,
         jax.random.PRNGKey(seed + 7),
         NUTSConfig(
-            n_samples=800,
-            n_warmup=800,
-            max_tree_depth=7,
-            target_accept=0.9,
+            n_samples=1500,
+            n_warmup=1500,
+            max_tree_depth=9,
+            target_accept=0.95,
         ),
         n_chains=n_chains,
         inits=inits,
