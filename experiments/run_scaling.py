@@ -45,6 +45,14 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--mesh", default=None, help="e.g. 2x4 (data x sample)")
     ap.add_argument("--force-cpu-devices", type=int, default=0)
+    ap.add_argument(
+        "--backend",
+        default="xla",
+        choices=("xla", "pallas"),
+        help="whvi_mul compute path: XLA Kronecker (default) or the "
+        "fused Pallas kernel — the END-TO-END comparison the chain "
+        "microbenchmarks can't give (docs/RESULTS.md round 2)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -55,8 +63,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from whvi_tpu.models import WHVILinear, WHVIRegression, relu
+    from whvi_tpu.ops import set_whvi_mul_backend
     from whvi_tpu.parallel import make_mesh, make_sharded_train_step
     from whvi_tpu.train import Trainer, TrainConfig, decayed_adam
+
+    set_whvi_mul_backend(args.backend)  # read at trace time
 
     for D in args.sizes:
         net = WHVIRegression(

@@ -10,7 +10,12 @@ from whvi_tpu.ops.hadamard import (
     matmul_diag_right,
     next_pow_of_2,
 )
-from whvi_tpu.ops.whvi_op import whvi_dense, whvi_mul, whvi_mul_dense_oracle
+from whvi_tpu.ops.whvi_op import (
+    set_whvi_mul_backend,
+    whvi_dense,
+    whvi_mul,
+    whvi_mul_dense_oracle,
+)
 
 __all__ = [
     "build_H",
@@ -23,6 +28,7 @@ __all__ = [
     "matmul_diag_left",
     "matmul_diag_right",
     "next_pow_of_2",
+    "set_whvi_mul_backend",
     "whvi_dense",
     "whvi_mul",
     "whvi_mul_dense_oracle",

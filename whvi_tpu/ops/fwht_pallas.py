@@ -190,6 +190,13 @@ def _fused_raw(
     Bp = B + pad
     grid = (Bp // TB,)
     h_dtype = jnp.bfloat16 if precision == "bf16" else x.dtype
+    # Inside shard_map the output avals must carry the union of the
+    # inputs' varying-manual-axes (else jax's check_vma rejects the
+    # pallas_call); outside it this is the empty set, i.e. a no-op.
+    vma = frozenset()
+    for operand in (s1, u, s2, x):
+        vma |= getattr(jax.typeof(operand), "vma", frozenset()) or frozenset()
+    sds = lambda shape: jax.ShapeDtypeStruct(shape, x.dtype, vma=vma)
 
     if a == 1:
         vec = lambda: pl.BlockSpec(
@@ -205,7 +212,7 @@ def _fused_raw(
                 grid=grid,
                 in_specs=[vec(), vec(), vec(), mat, tile],
                 out_specs=tile,
-                out_shape=jax.ShapeDtypeStruct((Bp, D), x.dtype),
+                out_shape=sds((Bp, D)),
                 compiler_params=cp,
                 interpret=interpret,
             )(s2[None], u[None], s1[None], H, xp)
@@ -215,7 +222,7 @@ def _fused_raw(
             grid=grid,
             in_specs=[vec(), vec(), vec(), mat, tile],
             out_specs=[tile] * 3,
-            out_shape=[jax.ShapeDtypeStruct((Bp, D), x.dtype)] * 3,
+            out_shape=[sds((Bp, D))] * 3,
             compiler_params=cp,
             interpret=interpret,
         )(s2[None], u[None], s1[None], H, xp)
@@ -247,7 +254,7 @@ def _fused_raw(
             grid=grid,
             in_specs=[vec_nat(), vec_sw, vec_nat(), mat(a), mat(b), tile_nat],
             out_specs=tile_nat,
-            out_shape=jax.ShapeDtypeStruct((Bp, a, b), x.dtype),
+            out_shape=sds((Bp, a, b)),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024
             ),
@@ -267,9 +274,9 @@ def _fused_raw(
         in_specs=[vec_nat(), vec_sw, vec_nat(), mat(a), mat(b), tile_nat],
         out_specs=[tile_nat, tile_sw, tile_nat],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp, a, b), x.dtype),
-            jax.ShapeDtypeStruct((Bp, b, a), x.dtype),
-            jax.ShapeDtypeStruct((Bp, a, b), x.dtype),
+            sds((Bp, a, b)),
+            sds((Bp, b, a)),
+            sds((Bp, a, b)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024

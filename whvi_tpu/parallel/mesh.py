@@ -60,6 +60,22 @@ def make_mesh(
     return Mesh(dev_array, axis_names=("data", "sample"))
 
 
+def _check_vma() -> bool:
+    """Whether shard_map's varying-manual-axes checker can run.
+
+    The fused Pallas kernel's custom VJP reduces the diagonal cotangents
+    over the local batch inside an opaque bwd fn; the vma inference
+    cannot see that the shard_map transpose's boundary psum makes the
+    replicated-param cotangents invariant again, so the checker
+    false-positives. Gradient equality with the single-device path is
+    instead asserted directly (tests/test_parallel.py); the XLA default
+    keeps the checker on.
+    """
+    from whvi_tpu.ops import whvi_op
+
+    return whvi_op._BACKEND != "pallas"
+
+
 def sharded_loss_fn(
     net,
     mesh: Mesh,
@@ -89,6 +105,7 @@ def sharded_loss_fn(
     per_example = any(
         getattr(l, "per_example_noise", False) for l in net.layers
     )
+    check_vma = _check_vma()
 
     def _fold_data_shard(keys):
         if not per_example or d_shards == 1:
@@ -111,6 +128,7 @@ def sharded_loss_fn(
         mesh=mesh,
         in_specs=(P(), P("sample"), P("data"), P("data"), P()),
         out_specs=P(),
+        check_vma=check_vma,
     )
 
     def _local_weighted(params, keys, x, y, n, w):
@@ -134,6 +152,7 @@ def sharded_loss_fn(
         mesh=mesh,
         in_specs=(P(), P("sample"), P("data"), P("data"), P(), P("data")),
         out_specs=P(),
+        check_vma=check_vma,
     )
 
     def loss_fn(params, key, x, y, n, kl_scale=1.0, weights=None):
@@ -188,6 +207,7 @@ def make_sharded_predict(net, mesh: Mesh, n_samples: int):
         mesh=mesh,
         in_specs=(P(), P("sample"), P("data")),
         out_specs=P("sample", "data"),
+        check_vma=_check_vma(),
     )
 
     def predict(params, key, x):
