@@ -75,9 +75,11 @@ def pallas_supported(D: int) -> bool:
 def _pick_tile(B: int, D: int, itemsize: int = 4) -> int:
     """Batch-tile rows for the VMEM budget.
 
-    Live VMEM per grid step is ~16 (TB, D) buffers: double-buffered
-    input + 3 double-buffered outputs + ~8 kernel temporaries, so keep
-    ``16 * TB * D * itemsize`` under the ~16 MB VMEM.
+    Live VMEM per grid step is ~24 (TB, D)-sized buffers: double-buffered
+    input + 3 double-buffered outputs + kernel temporaries (fp32
+    accumulators for the bf16 MXU stages double several of them), so
+    keep ``24 * TB * D * itemsize`` under ``_VMEM_BUDGET``, clamped to
+    [8, 256] rows and rounded down to a power of two.
     """
     tb = _VMEM_BUDGET // (24 * itemsize * D)
     tb = max(8, min(256, tb))
