@@ -53,6 +53,13 @@ def main():
         "fused Pallas kernel — the END-TO-END comparison the chain "
         "microbenchmarks can't give (docs/RESULTS.md round 2)",
     )
+    ap.add_argument(
+        "--predict",
+        action="store_true",
+        help="benchmark the SERVING path instead of training: "
+        "posterior-predictive inference through make_sharded_predict "
+        "(MC samples over the sample axis, batch over data)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -89,6 +96,69 @@ def main():
             mesh = make_mesh(data=d, sample=s)
         else:
             mesh = make_mesh(data=1, sample=1)
+
+        if args.predict:
+            # ---- serving path: posterior-predictive inference bench
+            from functools import partial
+
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from whvi_tpu.parallel import make_sharded_predict
+
+            pred = make_sharded_predict(net, mesh, n_samples=args.samples)
+            params = jax.device_put(
+                Trainer(net, TrainConfig())
+                .init(jax.random.PRNGKey(0))
+                .params,
+                NamedSharding(mesh, P()),
+            )
+            xs = jax.device_put(
+                jnp.asarray(X), NamedSharding(mesh, P("data"))
+            )
+
+            @partial(jax.jit, static_argnames="k")
+            def pred_scan(key, k):
+                # k serving calls inside one compiled scan; the summed
+                # output forces completion on fetch (honest timing on
+                # remote backends)
+                def body(carry, _):
+                    key, acc = carry
+                    key, sub = jax.random.split(key)
+                    acc = acc + jnp.sum(pred.raw(params, sub, xs))
+                    return (key, acc), None
+
+                (_, acc), _ = jax.lax.scan(
+                    body, (key, jnp.float32(0)), None, length=k
+                )
+                return acc
+
+            def prun(k):
+                t0 = time.perf_counter()
+                float(pred_scan(jax.random.PRNGKey(1), k))
+                return time.perf_counter() - t0
+
+            prun(args.steps)
+            prun(2 * args.steps)
+            t1 = prun(args.steps)
+            t2 = prun(2 * args.steps)
+            dt = max(t2 - t1, 1e-9) / args.steps
+            print(
+                json.dumps(
+                    {
+                        "D": D,
+                        "mode": "predict",
+                        "batch": args.batch,
+                        "mc_samples": args.samples,
+                        "mesh": dict(mesh.shape),
+                        "call_ms": round(dt * 1e3, 3),
+                        "pred_samples_per_s": round(
+                            args.samples * args.batch / dt, 1
+                        ),
+                    }
+                ),
+                flush=True,
+            )
+            continue
 
         tx = decayed_adam()
         step, shard_state, shard_batch = make_sharded_train_step(

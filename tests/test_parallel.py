@@ -299,3 +299,36 @@ def test_sharded_pallas_backend_matches_single_device():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
         )
+
+
+def test_sharded_predict_raw_embeds_in_scan():
+    # pred.raw must be embeddable in a larger jitted program (the
+    # serving benchmark wraps it in lax.scan) and agree with the
+    # jitted entry point for the same key.
+    from functools import partial
+
+    from whvi_tpu.parallel import make_sharded_predict
+
+    net = _net(train_samples=2)
+    X, _ = _data(n=16)
+    mesh = make_mesh(data=2, sample=2)
+    pred = make_sharded_predict(net, mesh, n_samples=4)
+    params = net.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    want = pred(params, key, jnp.asarray(X))
+
+    @partial(jax.jit, static_argnames="k")
+    def scan_pred(key, k):
+        def body(c, _):
+            return c, pred.raw(params, key, jnp.asarray(X))
+
+        _, ys = jax.lax.scan(body, 0, None, length=k)
+        return ys
+
+    got = scan_pred(key, 2)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[1]), np.asarray(want), rtol=1e-5, atol=1e-6
+    )

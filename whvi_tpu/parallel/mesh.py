@@ -215,10 +215,14 @@ def make_sharded_predict(net, mesh: Mesh, n_samples: int):
         return local(params, keys, x)
 
     replicated = NamedSharding(mesh, P())
-    return jax.jit(
+    jitted = jax.jit(
         predict,
         in_shardings=(replicated, replicated, NamedSharding(mesh, P("data"))),
     )
+    # raw (unjitted) fn for embedding in larger jitted programs, e.g.
+    # the scan-amortized serving benchmark (run_scaling.py --predict)
+    jitted.raw = predict
+    return jitted
 
 
 def make_sharded_train_step(
