@@ -85,16 +85,22 @@ def main():
     ap.add_argument("--require-mnist", action="store_true")
     ap.add_argument(
         "--data",
-        choices=["auto", "mnist", "digits", "synthetic"],
+        choices=[
+            "auto", "mnist", "digits", "wine", "breast_cancer", "synthetic"
+        ],
         default="auto",
         help="auto: MNIST IDX files if present, else the REAL sklearn "
-        "digits set (8x8, 10 classes, bundled offline), else synthetic",
+        "digits set (8x8, 10 classes, bundled offline), else synthetic; "
+        "wine/breast_cancer: other real sklearn-bundled sets",
     )
     ap.add_argument("--hmc", action="store_true", help="golden-sampler check")
     ap.add_argument("--subset", type=int, default=0, help="train subset size")
     args = ap.parse_args()
 
-    from whvi_tpu.data.mnist import load_digits_classification
+    from whvi_tpu.data.mnist import (
+        load_digits_classification,
+        load_sklearn_classification,
+    )
 
     want = args.data
     if want == "auto":
@@ -112,6 +118,11 @@ def main():
             seed=args.seed
         )
         source = "digits"
+    elif want in ("wine", "breast_cancer"):
+        (X_tr, y_tr), (X_te, y_te) = load_sklearn_classification(
+            want, seed=args.seed
+        )
+        source = want
     else:
         (X_tr, y_tr), (X_te, y_te) = synthetic_classification()
         source = "synthetic"
@@ -125,7 +136,9 @@ def main():
             relu,
             WHVILinear(W, W, lambda_=3.0, s_init="auto"),
             relu,
-            WHVILinear(W, 10, lambda_=1.0, s_init="auto"),
+            WHVILinear(
+                W, int(y_tr.max()) + 1, lambda_=1.0, s_init="auto"
+            ),
         ),
         likelihood=CategoricalLikelihood(),
         train_samples=args.train_samples,

@@ -100,3 +100,21 @@ def test_digits_loader_real_offline():
     # deterministic split per seed
     (Xtr2, _), _ = load_digits_classification(seed=3)
     np.testing.assert_array_equal(Xtr, Xtr2)
+
+
+def test_sklearn_classification_loaders_real_offline():
+    from whvi_tpu.data.mnist import load_sklearn_classification
+
+    (Xtr, ytr), (Xte, yte) = load_sklearn_classification("wine", seed=1)
+    assert Xtr.shape[1] == 13 and set(np.unique(ytr)) <= set(range(3))
+    # standardized on the train split
+    np.testing.assert_allclose(Xtr.mean(axis=0), 0.0, atol=1e-4)
+    np.testing.assert_allclose(Xtr.std(axis=0), 1.0, atol=1e-3)
+
+    (Xtr2, ytr2), _ = load_sklearn_classification("breast_cancer", seed=1)
+    assert Xtr2.shape[1] == 30 and set(np.unique(ytr2)) == {0, 1}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        load_sklearn_classification("nope")

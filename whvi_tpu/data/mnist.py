@@ -19,6 +19,7 @@ import numpy as np
 __all__ = [
     "load_mnist",
     "load_digits_classification",
+    "load_sklearn_classification",
     "synthetic_classification",
     "mnist_available",
 ]
@@ -126,4 +127,33 @@ def load_digits_classification(test_frac: float = 0.2, seed: int = 0):
     perm = rng.permutation(len(X))
     n_te = int(round(test_frac * len(X)))
     te, tr = perm[:n_te], perm[n_te:]
+    return (X[tr], y[tr]), (X[te], y[te])
+
+
+def load_sklearn_classification(
+    name: str, test_frac: float = 0.2, seed: int = 0
+):
+    """Other REAL classification sets bundled with scikit-learn (offline):
+    ``wine`` (178 samples, 13 features, 3 classes) and ``breast_cancer``
+    (569 samples, 30 features, 2 classes). Features are standardized on
+    the train split (ranges vary over orders of magnitude, unlike the
+    [0,1] digits pixels). Returns ((X_tr, y_tr), (X_te, y_te))."""
+    from sklearn import datasets as skd
+
+    loaders = {
+        "wine": skd.load_wine,
+        "breast_cancer": skd.load_breast_cancer,
+    }
+    if name not in loaders:
+        raise ValueError(f"unknown sklearn set {name!r}; have {sorted(loaders)}")
+    d = loaders[name]()
+    X = d.data.astype(np.float32)
+    y = d.target.astype(np.int32)
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(len(X))
+    n_te = int(round(test_frac * len(X)))
+    te, tr = perm[:n_te], perm[n_te:]
+    mu = X[tr].mean(axis=0)
+    sd = X[tr].std(axis=0) + 1e-8
+    X = (X - mu) / sd
     return (X[tr], y[tr]), (X[te], y[te])
