@@ -25,7 +25,7 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default=None)
-    ap.add_argument("--epochs", type=int, default=3000)
+    ap.add_argument("--epochs", type=int, default=6000)
     args = ap.parse_args()
     if args.backend:
         jax.config.update("jax_platforms", args.backend)
@@ -54,11 +54,11 @@ def main():
     wstate = trainer.init(jax.random.PRNGKey(1))
     trainer.fit(wstate, X_tr, y_tr)
 
-    # Best of two measured runs: the remote-tunnel backend has
+    # Best of three measured runs: the remote-tunnel backend has
     # occasional multi-hundred-ms latency spikes that would otherwise
     # land in the recorded number.
     eps = 0.0
-    for seed in (0, 2):
+    for seed in (0, 2, 3):
         st = trainer.init(jax.random.PRNGKey(seed))
         t0 = time.time()
         st, _ = trainer.fit(st, X_tr, y_tr)
