@@ -87,6 +87,7 @@ def main():
     from whvi_tpu.ops import whvi_mul
     from whvi_tpu.ops.fwht_pallas import whvi_mul_pallas
     from whvi_tpu.ops.hadamard import fwht_kron
+    from whvi_tpu.utils import V5E_HBM_GBPS, v5e_peak_flops, whvi_mul_flops
 
     f_jnp = whvi_mul
 
@@ -135,6 +136,11 @@ def main():
         t_j16 = chain_time(f_jnp16, c1, c2, c3, x, args.iters)
         t_p = chain_time(f_pal, c1, c2, c3, x, args.iters)
         bytes_moved = 2 * B * D * 4
+        flops = whvi_mul_flops(D, B)
+        on_tpu = jax.default_backend() == "tpu"
+        # all three timed paths run bf16 MXU operands (jnp default TPU
+        # matmul rounds fp32 operands; see ops.hadamard precision modes)
+        peak = v5e_peak_flops("default")
         row = {
             "D": D,
             "B": B,
@@ -145,6 +151,13 @@ def main():
             "jnp_GBps": round(bytes_moved / t_j / 1e9, 1),
             "jnp_bf16_GBps": round(bytes_moved / t_j16 / 1e9, 1),
             "pallas_GBps": round(bytes_moved / t_p / 1e9, 1),
+            "jnp_TFLOPs": round(flops / t_j / 1e12, 1),
+            "pallas_TFLOPs": round(flops / t_p / 1e12, 1),
+            "jnp_mfu": round(flops / t_j / peak, 3) if on_tpu else None,
+            "pallas_mfu": round(flops / t_p / peak, 3) if on_tpu else None,
+            "hbm_frac_jnp": round(
+                bytes_moved / t_j / 1e9 / V5E_HBM_GBPS, 3
+            ) if on_tpu else None,
             "speedup": round(t_j / t_p, 2),
             "speedup_vs_bf16": round(t_j16 / t_p, 2),
         }

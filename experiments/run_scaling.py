@@ -60,6 +60,22 @@ def main():
         "posterior-predictive inference through make_sharded_predict "
         "(MC samples over the sample axis, batch over data)",
     )
+    ap.add_argument(
+        "--precision",
+        default="default",
+        choices=("default", "highest", "bf16"),
+        help="MXU operand precision of the Kronecker FWHT path "
+        "(default = MXU rounds fp32 operands to bf16; highest = true "
+        "fp32 via Precision.HIGHEST, ~1/4 the MXU rate on v5e)",
+    )
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=1,
+        help="independent measured repeats per row (all reported; the "
+        "round-2 audit found single-sourced rows on this backend can't "
+        "be trusted)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -70,11 +86,19 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from whvi_tpu.models import WHVILinear, WHVIRegression, relu
-    from whvi_tpu.ops import set_whvi_mul_backend
+    from whvi_tpu.ops import set_fwht_precision, set_whvi_mul_backend
     from whvi_tpu.parallel import make_mesh, make_sharded_train_step
     from whvi_tpu.train import Trainer, TrainConfig, decayed_adam
+    from whvi_tpu.utils import (
+        elbo_step_flops,
+        v5e_peak_flops,
+        whvi_mul_flops,
+    )
 
     set_whvi_mul_backend(args.backend)  # read at trace time
+    set_fwht_precision(args.precision)  # ditto
+    on_tpu = jax.default_backend() == "tpu"
+    peak = v5e_peak_flops(args.precision)
 
     for D in args.sizes:
         net = WHVIRegression(
@@ -137,27 +161,35 @@ def main():
                 float(pred_scan(jax.random.PRNGKey(1), k))
                 return time.perf_counter() - t0
 
+            # forward-only MXU flops: 2 square LRT layers, 2 products each
+            flops = args.samples * 2 * (2 * whvi_mul_flops(D, args.batch))
             prun(args.steps)
             prun(2 * args.steps)
-            t1 = prun(args.steps)
-            t2 = prun(2 * args.steps)
-            dt = max(t2 - t1, 1e-9) / args.steps
-            print(
-                json.dumps(
-                    {
-                        "D": D,
-                        "mode": "predict",
-                        "batch": args.batch,
-                        "mc_samples": args.samples,
-                        "mesh": dict(mesh.shape),
-                        "call_ms": round(dt * 1e3, 3),
-                        "pred_samples_per_s": round(
-                            args.samples * args.batch / dt, 1
-                        ),
-                    }
-                ),
-                flush=True,
-            )
+            for _ in range(args.repeats):
+                t1 = prun(args.steps)
+                t2 = prun(2 * args.steps)
+                dt = max(t2 - t1, 1e-9) / args.steps
+                print(
+                    json.dumps(
+                        {
+                            "D": D,
+                            "mode": "predict",
+                            "batch": args.batch,
+                            "mc_samples": args.samples,
+                            "mesh": dict(mesh.shape),
+                            "precision": args.precision,
+                            "call_ms": round(dt * 1e3, 3),
+                            "pred_samples_per_s": round(
+                                args.samples * args.batch / dt, 1
+                            ),
+                            "tflops": round(flops / dt / 1e12, 1),
+                            "mfu": round(flops / dt / peak, 3)
+                            if on_tpu
+                            else None,
+                        }
+                    ),
+                    flush=True,
+                )
             continue
 
         tx = decayed_adam()
@@ -179,27 +211,36 @@ def main():
             float(metrics["loss"])  # host sync
             return time.perf_counter() - t0, state
 
+        # fwd+bwd MXU flops of the 2 square LRT layers (the D->1 column
+        # output layer is O(D), <1% -- see utils.profiling)
+        flops = elbo_step_flops([D, D], args.batch, args.samples)
         _, state = run(args.steps, state)  # compile k
         _, state = run(2 * args.steps, state)  # compile 2k
-        t1, state = run(args.steps, state)
-        t2, state = run(2 * args.steps, state)
-        dt = max(t2 - t1, 1e-9) / args.steps
-        print(
-            json.dumps(
-                {
-                    "D": D,
-                    "batch": args.batch,
-                    "mc_samples": args.samples,
-                    "mesh": dict(mesh.shape),
-                    "step_ms": round(dt * 1e3, 2),
-                    "elbo_steps_per_s": round(1.0 / dt, 2),
-                    "posterior_samples_per_s": round(
-                        args.samples * args.batch / dt, 1
-                    ),
-                }
-            ),
-            flush=True,
-        )
+        for _ in range(args.repeats):
+            t1, state = run(args.steps, state)
+            t2, state = run(2 * args.steps, state)
+            dt = max(t2 - t1, 1e-9) / args.steps
+            print(
+                json.dumps(
+                    {
+                        "D": D,
+                        "batch": args.batch,
+                        "mc_samples": args.samples,
+                        "mesh": dict(mesh.shape),
+                        "precision": args.precision,
+                        "step_ms": round(dt * 1e3, 2),
+                        "elbo_steps_per_s": round(1.0 / dt, 2),
+                        "posterior_samples_per_s": round(
+                            args.samples * args.batch / dt, 1
+                        ),
+                        "tflops": round(flops / dt / 1e12, 1),
+                        "mfu": round(flops / dt / peak, 3)
+                        if on_tpu
+                        else None,
+                    }
+                ),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":

