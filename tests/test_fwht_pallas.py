@@ -122,13 +122,28 @@ def test_fused_grad_of_scalar_loss():
         )
 
 
-@pytest.mark.parametrize("D", [32, 128, 1024])
+@pytest.mark.parametrize("D", [32, 128, 1024, 2048])
 def test_fwht_pallas_matches_dense(D):
+    # 2048 exercises the two-factor bare-transform kernel (natural ->
+    # natural via two middle-axis contractions, zero transposes)
     x = jax.random.normal(jax.random.PRNGKey(5), (7, D))
     got = fwht_pallas(x, interpret=True)
     want = x @ np.asarray(build_H(D))
     np.testing.assert_allclose(
         np.asarray(got), want, rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("D", [128, 2048])
+def test_fwht_pallas_grad_is_self_adjoint(D):
+    # VJP of the bare transform is the transform itself (H = H^T)
+    x = jax.random.normal(jax.random.PRNGKey(6), (3, D))
+    g = jax.random.normal(jax.random.PRNGKey(7), (3, D))
+    _, vjp = jax.vjp(lambda v: fwht_pallas(v, True), x)
+    (dx,) = vjp(g)
+    want = g @ np.asarray(build_H(D))
+    np.testing.assert_allclose(
+        np.asarray(dx), want, rtol=1e-4, atol=1e-3
     )
 
 

@@ -133,7 +133,18 @@ class WHVINetwork:
         networks.py:130-133)."""
         S = self.eval_samples if n_samples is None else n_samples
         y_hat = self.predict(params, x, key, S)
-        n = x.shape[0]
+        return self.metrics_from_predictions(params, y, y_hat)
+
+    def metrics_from_predictions(
+        self, params: dict, y: jax.Array, y_hat: jax.Array
+    ) -> dict:
+        """The eval metrics given already-drawn MC predictions ``y_hat
+        (S, B, n_out)`` — shared by the single-device path above and the
+        mesh-sharded eval path (train.Trainer routes prediction through
+        ``parallel.make_sharded_predict`` when it holds a mesh, so the
+        64-sample eval is SPMD like training)."""
+        S = y_hat.shape[0]
+        n = y.shape[0]
         mnll = self.likelihood.mnll(params["likelihood"], y, y_hat, n)
         out = {"mnll": mnll, "mnll_per_point": mnll / n}
         if hasattr(self.likelihood, "log_prob"):
