@@ -335,12 +335,163 @@ def nonlinear_tier(seed=0, n_train=64, epochs=20000):
     }
 
 
+# --------------------------------------------------------- mixed-lambda tier
+
+
+def mixed_lambda_tier(seed=0, n_train=64, epochs=8000):
+    """Before/after demonstration of the mass-matrix adaptation on the
+    FLAGSHIP prior mix: hidden layer lambda = 3, output layer
+    lambda = 1e-5 — prior stddevs sqrt(3) vs sqrt(1e-5), a ~550x scale
+    ratio inside one posterior. The identity-mass sampler tunes its step
+    to the tight output-layer coordinates and random-walks the hidden
+    ones (round-2 VERDICT weak #3); the windowed diagonal adaptation
+    (mcmc.adapt) should restore healthy ESS/R-hat. Same mode-local
+    protocol as the nonlinear tier (chains started from q draws).
+    """
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    try:
+        from whvi_tpu.data.uci import load_uci
+
+        X, y = load_uci("yacht")
+        rng = np.random.RandomState(seed)
+        idx = rng.permutation(len(X))[:n_train]
+        X = X[idx].astype(np.float32)
+        y = y[idx].astype(np.float32)[:, None]
+        X = (X - X.mean(0)) / (X.std(0) + 1e-8)
+        y = (y - y.mean(0)) / (y.std(0) + 1e-8)
+        source = "yacht"
+    except Exception:
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n_train, 6).astype(np.float32)
+        y = np.sin(X.sum(1, keepdims=True)).astype(np.float32)
+        source = "synthetic"
+
+    def _lin(a, b, lam):
+        return WHVILinear(
+            a, b, lambda_=lam, s_init="auto", bias=True,
+            per_example_noise=True,
+        )
+
+    # the flagship UCI prior mix (reference evaluation.py:79-85)
+    net = WHVIRegression(
+        [_lin(6, 8, 3.0), relu, _lin(8, 1, 1e-5)],
+        sigma0=0.3,
+        train_samples=4,
+    )
+    cfg = TrainConfig(
+        epochs1=epochs,
+        epochs2=0,
+        epochs_per_call=2000,
+        batch_size=64,
+        kl_warmup_steps=(epochs * 3) // 10,
+    )
+    tr = Trainer(net, cfg)
+    state = tr.init(jax.random.PRNGKey(seed))
+    state, logs = tr.fit(state, X, y)
+    params = state.params
+
+    logp, init = make_whvi_g_log_posterior(net, params, X, y)
+    n_chains = 4
+    bayes_i = sorted(init.keys())
+    k_q = jax.random.split(jax.random.PRNGKey(seed + 11), n_chains)
+
+    def q_draw(k):
+        ks = jax.random.split(k, len(bayes_i))
+        out = {}
+        for kk, i in zip(ks, bayes_i):
+            lp = params["layers"][i]
+            sd = jax.nn.softplus(lp["g_rho"])
+            out[i] = lp["g_mu"] + sd * jax.random.normal(kk, lp["g_mu"].shape)
+        return out
+
+    inits = jax.tree.map(lambda *xs: jnp.stack(xs), *[q_draw(k) for k in k_q])
+
+    out = {"source": source, "n_train": n_train,
+           "prior_scale_ratio": float(np.sqrt(3.0 / 1e-5))}
+    for name, mass in (("identity_mass", False), ("adapted_mass", True)):
+        samples, stats = nuts_sample_chains(
+            logp,
+            init,
+            jax.random.PRNGKey(seed + 7),
+            NUTSConfig(
+                n_samples=1000,
+                n_warmup=1000,
+                max_tree_depth=8,
+                target_accept=0.9,
+                mass_adapt=mass,
+            ),
+            n_chains=n_chains,
+            inits=inits,
+        )
+        per_layer = {}
+        for i in bayes_i:
+            gs = samples[i]
+            per_layer[f"layer{i}"] = {
+                "rhat_max": float(jnp.max(split_rhat(gs))),
+                "ess_min": float(jnp.min(ess(gs))),
+            }
+        row = {
+            "per_layer": per_layer,
+            "ess_min_overall": min(
+                v["ess_min"] for v in per_layer.values()
+            ),
+            "rhat_max_overall": max(
+                v["rhat_max"] for v in per_layer.values()
+            ),
+            "divergences": int(jnp.sum(stats["divergences"])),
+            "step_size_mean": float(jnp.mean(stats["step_size"])),
+        }
+        if mass:
+            # adapted inverse-mass scale per layer: should track the
+            # ~550x posterior scale split
+            m_inv = np.asarray(stats["inv_mass"])  # (chains, dim)
+            sizes = [int(np.prod(params["layers"][i]["g_mu"].shape))
+                     for i in bayes_i]
+            off = 0
+            for i, sz in zip(bayes_i, sizes):
+                row[f"inv_mass_mean_layer{i}"] = float(
+                    np.mean(m_inv[:, off : off + sz])
+                )
+                off += sz
+        out[name] = row
+    out["gates"] = {
+        "adapted_ess_beats_identity": out["adapted_mass"]["ess_min_overall"]
+        > out["identity_mass"]["ess_min_overall"],
+        "adapted_rhat_ok": out["adapted_mass"]["rhat_max_overall"] < 1.05,
+        "adapted_divergence_free": out["adapted_mass"]["divergences"] == 0,
+    }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
     ap.add_argument("--skip-nonlinear", action="store_true")
+    ap.add_argument("--skip-mixed", action="store_true")
+    ap.add_argument(
+        "--tier",
+        default=None,
+        choices=("analytic", "nonlinear", "mixed"),
+        help="run just one tier (default: all)",
+    )
     ap.add_argument("--epochs", type=int, default=12000)
     args = ap.parse_args()
+
+    if args.tier == "mixed":
+        results = {"mixed_lambda": mixed_lambda_tier(epochs=args.epochs)}
+        print(json.dumps(results, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return
+    if args.tier == "nonlinear":
+        results = {"nonlinear": nonlinear_tier(epochs=args.epochs)}
+        print(json.dumps(results, indent=2))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
+        return
 
     results = {"analytic": analytic_tier()}
     a = results["analytic"]
@@ -358,8 +509,10 @@ def main():
     }
     results["analytic_gates"] = gates
 
-    if not args.skip_nonlinear:
+    if not args.skip_nonlinear and args.tier != "analytic":
         results["nonlinear"] = nonlinear_tier(epochs=args.epochs)
+    if not args.skip_mixed and args.tier != "analytic":
+        results["mixed_lambda"] = mixed_lambda_tier(epochs=args.epochs)
 
     print(json.dumps(results, indent=2))
     if args.out:

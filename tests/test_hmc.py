@@ -53,8 +53,12 @@ def test_hmc_step_size_adaptation():
     def logp(q):
         return jnp.sum(-0.5 * jnp.square(q["x"]) / 0.01)  # tight target
 
+    # mass_adapt off: this test isolates the dual-averaging mechanism
+    # (with the adapted metric the optimal eps is no longer < 0.5 --
+    # the mass matrix absorbs the 0.1 target scale)
     cfg = HMCConfig(
-        n_samples=300, n_warmup=500, n_leapfrog=8, init_step_size=0.5
+        n_samples=300, n_warmup=500, n_leapfrog=8, init_step_size=0.5,
+        mass_adapt=False,
     )
     _, stats = hmc_sample(
         logp, {"x": jnp.zeros(4)}, jax.random.PRNGKey(2), cfg

@@ -1,0 +1,222 @@
+"""Mass-matrix adaptation tests (round-2 VERDICT item 3).
+
+- schedule/Welford unit tests;
+- mixed-scale Gaussian (1e4 stddev ratio): the identity-mass sampler
+  demonstrably fails to move the widest coordinate while the adapted
+  sampler recovers every scale — the property the flagship posterior
+  (prior scales lambda = {3, 1e-5}) needs;
+- the analytic mean-field-optimum check (previously only in
+  experiments/run_vi_vs_hmc.py): trained mean-field VI matches the
+  closed-form mean-field optimum of an exact Gaussian posterior, and
+  NUTS matches the exact posterior itself.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from whvi_tpu.mcmc import (
+    HMCConfig,
+    NUTSConfig,
+    ess,
+    hmc_sample,
+    moments,
+    nuts_sample,
+)
+from whvi_tpu.mcmc.adapt import (
+    warmup_schedule,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+
+
+def test_warmup_schedule_structure():
+    acc, end = warmup_schedule(500)
+    # Stan layout: fast 75, slow windows 25/50/100/(rest to 450), fast 50
+    assert not acc[:75].any() and not acc[450:].any()
+    assert acc[75:450].all()
+    assert list(np.nonzero(end)[0]) == [99, 149, 249, 449]
+    # short warmup: proportional buffers, at least one window
+    acc2, end2 = warmup_schedule(120)
+    assert end2.sum() >= 1 and acc2.sum() > 0
+    # degenerate: no window fits -> all-False (pure step-size adaptation)
+    acc3, end3 = warmup_schedule(3)
+    assert not acc3.any() and not end3.any()
+
+
+def test_welford_matches_numpy():
+    rng = np.random.RandomState(0)
+    xs = rng.randn(40, 5).astype(np.float32) * np.array(
+        [0.1, 1.0, 3.0, 10.0, 0.5], np.float32
+    )
+    st = welford_init(5)
+    for x in xs:
+        st = welford_update(st, jnp.asarray(x), True)
+    var = np.asarray(welford_variance(st))
+    want = xs.var(axis=0, ddof=1)
+    n = len(xs)
+    want_reg = n / (n + 5.0) * want + 1e-3 * (5.0 / (n + 5.0))
+    np.testing.assert_allclose(var, want_reg, rtol=1e-4)
+    # masked updates are no-ops
+    st2 = welford_update(st, jnp.full((5,), 1e6), False)
+    np.testing.assert_allclose(
+        np.asarray(welford_variance(st2)), var, rtol=1e-6
+    )
+
+
+_SD = jnp.asarray(np.logspace(-2, 2, 8), jnp.float32)  # 1e4 scale ratio
+
+
+def _mixed_logp(q):
+    return jnp.sum(-0.5 * jnp.square(q["x"] / _SD))
+
+
+def test_hmc_adapted_mass_recovers_mixed_scales():
+    cfg = HMCConfig(n_samples=2000, n_warmup=800, n_leapfrog=16)
+    samples, stats = hmc_sample(
+        _mixed_logp, {"x": jnp.zeros(8)}, jax.random.PRNGKey(0), cfg
+    )
+    _, sd = moments(samples)
+    # every scale recovered within 35% (8 coords spanning 4 decades)
+    np.testing.assert_allclose(
+        np.asarray(sd["x"]), np.asarray(_SD), rtol=0.35
+    )
+    # the adapted inverse mass tracks the posterior variance
+    np.testing.assert_allclose(
+        np.asarray(stats["inv_mass"]),
+        np.asarray(_SD) ** 2,
+        rtol=0.9,
+    )
+    assert float(stats["accept_rate"]) > 0.5
+
+
+def test_hmc_identity_mass_fails_mixed_scales():
+    # The demonstration that motivates the feature: with mass_adapt off,
+    # the step size tunes to the tightest coordinate (sd 1e-2) and the
+    # widest (sd 1e2) random-walks — its sampled stddev comes out far
+    # below truth. (Before/after on the real mixed-lambda WHVI posterior:
+    # experiments/run_vi_vs_hmc.py --tier mixed.)
+    cfg = HMCConfig(
+        n_samples=2000, n_warmup=800, n_leapfrog=16, mass_adapt=False
+    )
+    samples, stats = hmc_sample(
+        _mixed_logp, {"x": jnp.zeros(8)}, jax.random.PRNGKey(0), cfg
+    )
+    _, sd = moments(samples)
+    widest = float(np.asarray(sd["x"])[-1])
+    assert widest < 0.3 * float(_SD[-1]), widest
+
+
+def test_nuts_adapted_mass_recovers_mixed_scales():
+    cfg = NUTSConfig(n_samples=1200, n_warmup=600, max_tree_depth=5)
+    samples, stats = nuts_sample(
+        _mixed_logp, {"x": jnp.zeros(8)}, jax.random.PRNGKey(1), cfg
+    )
+    sd = jnp.std(samples["x"], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(sd), np.asarray(_SD), rtol=0.35
+    )
+    assert int(stats["divergences"]) == 0
+    # healthy mixing on every coordinate
+    n_eff = np.asarray(ess(samples["x"][None]))
+    assert n_eff.min() > 100, n_eff
+
+
+def test_vi_reaches_meanfield_optimum_analytic():
+    # Compact in-suite version of run_vi_vs_hmc.py's analytic tier: for
+    # a model linear in g the posterior is exactly Gaussian N(mu, Lam^-1)
+    # and the mean-field optimum has the SAME mean with variances equal
+    # to the inverse of the precision DIAGONAL (Bishop 10.1.2). Trained
+    # mean-field VI must land on that optimum (sd ratio ~ 1), NOT on the
+    # exact marginals (which it underestimates when Lam has off-diagonal
+    # mass).
+    D, n, sigma, lam = 8, 32, 0.1, 1.0
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    M = jax.random.normal(k1, (n, D, D)) / jnp.sqrt(D)
+    g_true = jax.random.normal(k2, (D,)) * jnp.sqrt(lam)
+    y = jnp.einsum("nij,j->ni", M, g_true)
+    y = y + sigma * jax.random.normal(k3, y.shape)
+
+    Lam = jnp.eye(D) / lam + jnp.einsum("nij,nik->jk", M, M) / sigma**2
+    Sigma = jnp.linalg.inv(Lam)
+    mu = Sigma @ (jnp.einsum("nij,ni->j", M, y) / sigma**2)
+    mf_sd = 1.0 / jnp.sqrt(jnp.diag(Lam))
+
+    from whvi_tpu.ops.hadamard import kl_diag_normal
+
+    def elbo_loss(qp, key):
+        g_sigma = jax.nn.softplus(qp["g_rho"])
+        eps = jax.random.normal(key, (8, D))
+        g = qp["g_mu"][None] + g_sigma[None] * eps
+        r = y[None] - jnp.einsum("nij,sj->sni", M, g)
+        ll = -0.5 * jnp.sum(jnp.square(r), axis=(1, 2)) / sigma**2
+        kl = kl_diag_normal(qp["g_mu"], g_sigma, 0.0, jnp.sqrt(lam))
+        return -(jnp.mean(ll) - kl)
+
+    tx = optax.adam(1e-2)
+
+    @jax.jit
+    def fit(qp, key):
+        def body(carry, k):
+            qp, opt = carry
+            _, grads = jax.value_and_grad(elbo_loss)(qp, k)
+            upd, opt = tx.update(grads, opt, qp)
+            return (optax.apply_updates(qp, upd), opt), None
+
+        keys = jax.random.split(key, 4000)
+        (qp, _), _ = jax.lax.scan(body, (qp, tx.init(qp)), keys)
+        return qp
+
+    qp = fit(
+        {"g_mu": jnp.zeros(D), "g_rho": jnp.full((D,), -2.5)},
+        jax.random.PRNGKey(1),
+    )
+    vi_sd = jax.nn.softplus(qp["g_rho"])
+    # mean matches the exact posterior mean
+    assert float(jnp.sqrt(jnp.mean(jnp.square(qp["g_mu"] - mu)))) < 0.05
+    # sd matches the closed-form mean-field optimum within 10%
+    ratio = float(jnp.mean(vi_sd / mf_sd))
+    assert 0.9 < ratio < 1.1, ratio
+
+
+def test_nuts_matches_exact_gaussian_posterior():
+    # NUTS on the same exact-Gaussian target: marginal sds within 15%
+    # of the closed-form posterior (the sampler sees what mean-field
+    # cannot -- the full covariance).
+    D, n, sigma, lam = 8, 32, 0.1, 1.0
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    M = jax.random.normal(k1, (n, D, D)) / jnp.sqrt(D)
+    g_true = jax.random.normal(k2, (D,)) * jnp.sqrt(lam)
+    y = jnp.einsum("nij,j->ni", M, g_true)
+    y = y + sigma * jax.random.normal(k3, y.shape)
+    Lam = jnp.eye(D) / lam + jnp.einsum("nij,nik->jk", M, M) / sigma**2
+    Sigma = jnp.linalg.inv(Lam)
+    mu = Sigma @ (jnp.einsum("nij,ni->j", M, y) / sigma**2)
+    exact_sd = jnp.sqrt(jnp.diag(Sigma))
+
+    def logp(q):
+        g = q["g"]
+        r = y - jnp.einsum("nij,j->ni", M, g)
+        return (
+            -0.5 * jnp.sum(jnp.square(r)) / sigma**2
+            - 0.5 * jnp.sum(jnp.square(g)) / lam
+        )
+
+    samples, stats = nuts_sample(
+        logp,
+        {"g": jnp.zeros(D)},
+        jax.random.PRNGKey(5),
+        NUTSConfig(n_samples=1500, n_warmup=500, max_tree_depth=5),
+    )
+    gs = samples["g"]
+    np.testing.assert_allclose(
+        np.asarray(jnp.mean(gs, axis=0)), np.asarray(mu), atol=0.05
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.std(gs, axis=0)), np.asarray(exact_sd), rtol=0.15
+    )

@@ -3,9 +3,10 @@
 New capability over the reference (BASELINE.json north star): an exact
 (asymptotically) posterior sampler in the same engine, used to validate
 the VI posterior moments on small/frozen models. Pure JAX: leapfrog
-integration over parameter pytrees, ``lax.scan`` over draws, dual
-averaging step-size adaptation (Hoffman & Gelman 2014, Algorithm 5)
-during warmup, identity mass matrix.
+integration over the raveled parameter vector, ``lax.scan`` over draws,
+dual averaging step-size adaptation (Hoffman & Gelman 2014, Algorithm 5)
+and windowed diagonal mass-matrix adaptation (Stan phase II; see
+``mcmc.adapt``) during warmup.
 
 ``make_whvi_g_log_posterior`` builds the unnormalized log posterior of
 the stochastic WHVI diagonals ``g`` (one vector per Bayesian layer) with
@@ -21,6 +22,7 @@ import dataclasses
 from typing import Any, Callable
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
 
 __all__ = [
@@ -40,25 +42,17 @@ class HMCConfig:
     init_step_size: float = 1e-2
     target_accept: float = 0.8
     adapt: bool = True
-
-
-def _leapfrog(grad_fn, q, p, step_size, n_steps):
-    """Standard leapfrog; q, p are pytrees."""
-
-    def body(_, qp):
-        q, p = qp
-        g = grad_fn(q)
-        p = jax.tree.map(lambda p_, g_: p_ + 0.5 * step_size * g_, p, g)
-        q = jax.tree.map(lambda q_, p_: q_ + step_size * p_, q, p)
-        g = grad_fn(q)
-        p = jax.tree.map(lambda p_, g_: p_ + 0.5 * step_size * g_, p, g)
-        return (q, p)
-
-    return jax.lax.fori_loop(0, n_steps, body, (q, p))
-
-
-def _kinetic(p):
-    return 0.5 * sum(jnp.sum(jnp.square(x)) for x in jax.tree.leaves(p))
+    # Windowed diagonal mass-matrix adaptation (Stan phase II; see
+    # mcmc.adapt). On by default: the flagship WHVI posterior mixes
+    # prior scales lambda = {3, 1e-5} (~550x stddev ratio) that an
+    # identity kinetic energy handles badly (round-2 VERDICT weak #3).
+    mass_adapt: bool = True
+    # Per-draw uniform step-size jitter (+-fraction): fixed-length HMC
+    # resonates when eps * n_leapfrog lands near a full period of a
+    # (whitened) coordinate — the trajectory returns to its start and
+    # that coordinate random-walks (Neal 2011 section 3.2 recommends
+    # exactly this jitter). NUTS needs none (trajectory length adapts).
+    jitter_eps: float = 0.3
 
 
 def hmc_sample(
@@ -71,34 +65,68 @@ def hmc_sample(
 
     samples: pytree like ``init_position`` with a leading
     ``n_samples`` axis (post-warmup draws only).
-    stats: dict with acceptance probabilities, final step size.
-    """
-    grad_fn = jax.grad(log_prob_fn)
-    cfg = config
+    stats: dict with acceptance probabilities, final step size, and the
+    adapted diagonal inverse mass (posterior-variance estimate).
 
-    # dual-averaging state: (log_eps, log_eps_bar, h_bar)
-    mu = jnp.log(10.0 * cfg.init_step_size)
+    Internals run on the raveled parameter vector with a diagonal
+    kinetic energy ``K(p) = 0.5 sum_i m_inv_i p_i^2`` (``m_inv`` is the
+    estimated posterior variance; momenta are drawn ~ N(0, m_inv^-1)).
+    Step size adapts by dual averaging (Hoffman & Gelman 2014, Alg. 5),
+    restarted at every mass-window boundary; the whole warmup schedule
+    is precomputed host-side so the scan has no dynamic control flow.
+    """
+    from whvi_tpu.mcmc.adapt import (
+        warmup_schedule,
+        welford_init,
+        welford_update,
+        window_update,
+    )
+
+    cfg = config
+    q0_vec, unflat = jax.flatten_util.ravel_pytree(init_position)
+    dim = q0_vec.size
+
+    def logp_vec(qv):
+        return log_prob_fn(unflat(qv))
+
+    grad_vec = jax.grad(logp_vec)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    total = cfg.n_warmup + cfg.n_samples
+    acc_mask, end_mask = (
+        warmup_schedule(cfg.n_warmup)
+        if (cfg.adapt and cfg.mass_adapt)
+        else (jnp.zeros(cfg.n_warmup, bool), jnp.zeros(cfg.n_warmup, bool))
+    )
+    pad = jnp.zeros(cfg.n_samples, bool)
+    acc_mask = jnp.concatenate([jnp.asarray(acc_mask), pad])
+    end_mask = jnp.concatenate([jnp.asarray(end_mask), pad])
+
+    def leapfrog(q, p, eps, m_inv):
+        def body(_, qp):
+            q, p = qp
+            p = p + 0.5 * eps * grad_vec(q)
+            q = q + eps * (m_inv * p)
+            p = p + 0.5 * eps * grad_vec(q)
+            return (q, p)
+
+        return jax.lax.fori_loop(0, cfg.n_leapfrog, body, (q, p))
 
     def step(carry, inp):
-        q, logp, da_state, i = carry
-        key = inp
-        k_mom, k_acc = jax.random.split(key)
-        leaves, treedef = jax.tree.flatten(q)
-        flat_keys = jax.random.split(k_mom, len(leaves))
-        p = jax.tree.unflatten(
-            treedef,
-            [
-                jax.random.normal(k, l.shape, l.dtype)
-                for k, l in zip(flat_keys, leaves)
-            ],
-        )
-        log_eps, log_eps_bar, h_bar = da_state
+        q, logp, mu, log_eps, log_eps_bar, h_bar, da_t, m_inv, wf, i = carry
+        key, w_acc, w_end = inp
+        k_mom, k_acc, k_jit = jax.random.split(key, 3)
+        # p ~ N(0, M) with M = diag(1/m_inv)
+        p = jax.random.normal(k_mom, (dim,)) * jax.lax.rsqrt(m_inv)
         eps = jnp.exp(log_eps)
-        q_new, p_new = _leapfrog(grad_fn, q, p, eps, cfg.n_leapfrog)
-        logp_new = log_prob_fn(q_new)
-        h_old = -logp + _kinetic(p)
-        h_new = -logp_new + _kinetic(p_new)
+        eps_used = eps * (
+            1.0
+            + cfg.jitter_eps * (2.0 * jax.random.uniform(k_jit) - 1.0)
+        )
+        q_new, p_new = leapfrog(q, p, eps_used, m_inv)
+        logp_new = logp_vec(q_new)
+        kin = lambda pv: 0.5 * jnp.sum(m_inv * jnp.square(pv))
+        h_old = -logp + kin(p)
+        h_new = -logp_new + kin(p_new)
         log_accept = jnp.minimum(0.0, -(h_new - h_old))
         accept_prob = jnp.exp(log_accept)
         accept_prob = jnp.where(jnp.isfinite(accept_prob), accept_prob, 0.0)
@@ -110,43 +138,64 @@ def hmc_sample(
         )
         u = jax.random.uniform(k_acc)
         take = u < accept_prob
-        q = jax.tree.map(
-            lambda a, b: jnp.where(take, a, b), q_new, q
-        )
+        q = jnp.where(take, q_new, q)
         logp = jnp.where(take, logp_new, logp)
 
-        # dual averaging (active only during warmup)
+        # dual averaging (active only during warmup; t counts steps
+        # since the last mass-window restart)
         in_warmup = i < cfg.n_warmup
-        t = i.astype(jnp.float32) + 1.0
-        h_bar_new = (
-            (1.0 - 1.0 / (t + t0)) * h_bar
-            + (cfg.target_accept - accept_prob) / (t + t0)
-        )
+        t = da_t.astype(jnp.float32) + 1.0
+        h_bar_new = (1.0 - 1.0 / (t + t0)) * h_bar + (
+            cfg.target_accept - accept_prob
+        ) / (t + t0)
         log_eps_new = mu - jnp.sqrt(t) / gamma * h_bar_new
         w = t ** (-kappa)
         log_eps_bar_new = w * log_eps_new + (1.0 - w) * log_eps_bar
-        da_state = jax.lax.cond(
-            in_warmup & cfg.adapt,
-            lambda: (log_eps_new, log_eps_bar_new, h_bar_new),
-            lambda: (log_eps_bar, log_eps_bar, h_bar),
-        )
-        return (q, logp, da_state, i + 1), (q, accept_prob, divergent)
+        da_on = in_warmup & cfg.adapt
+        log_eps = jnp.where(da_on, log_eps_new, log_eps_bar)
+        log_eps_bar = jnp.where(da_on, log_eps_bar_new, log_eps_bar)
+        h_bar = jnp.where(da_on, h_bar_new, h_bar)
+        da_t = da_t + 1
 
-    total = cfg.n_warmup + cfg.n_samples
+        # mass-matrix window: accumulate post-accept positions, update
+        # the metric at window ends and restart dual averaging there
+        # (the new metric changes the optimal step size)
+        wf = welford_update(wf, q, w_acc)
+        wf, m_inv = window_update(wf, m_inv, w_end)
+        mu = jnp.where(w_end, jnp.log(10.0) + log_eps, mu)
+        log_eps_bar = jnp.where(w_end, log_eps, log_eps_bar)
+        h_bar = jnp.where(w_end, 0.0, h_bar)
+        da_t = jnp.where(w_end, 0, da_t)
+        return (
+            (q, logp, mu, log_eps, log_eps_bar, h_bar, da_t, m_inv, wf, i + 1),
+            (q, accept_prob, divergent),
+        )
+
     keys = jax.random.split(key, total)
-    init_logp = log_prob_fn(init_position)
-    da0 = (jnp.log(cfg.init_step_size), jnp.log(cfg.init_step_size), 0.0)
-    (_, _, da_final, _), (qs, accepts, divs) = jax.lax.scan(
-        step,
-        (init_position, init_logp, da0, jnp.asarray(0, jnp.int32)),
-        keys,
+    init_logp = logp_vec(q0_vec)
+    carry0 = (
+        q0_vec,
+        init_logp,
+        jnp.log(10.0 * cfg.init_step_size),
+        jnp.log(cfg.init_step_size),
+        jnp.log(cfg.init_step_size),
+        jnp.zeros(()),
+        jnp.asarray(0, jnp.int32),
+        jnp.ones((dim,)),
+        welford_init(dim),
+        jnp.asarray(0, jnp.int32),
     )
-    samples = jax.tree.map(lambda a: a[cfg.n_warmup :], qs)
+    carry, (qs, accepts, divs) = jax.lax.scan(
+        step, carry0, (keys, acc_mask, end_mask)
+    )
+    qs = qs[cfg.n_warmup :]
+    samples = jax.vmap(unflat)(qs)
     stats = {
         "accept_rate": jnp.mean(accepts[cfg.n_warmup :]),
         "warmup_accept_rate": jnp.mean(accepts[: cfg.n_warmup]),
-        "step_size": jnp.exp(da_final[1]),
+        "step_size": jnp.exp(carry[4]),
         "divergences": jnp.sum(divs[cfg.n_warmup :].astype(jnp.int32)),
+        "inv_mass": carry[7],
     }
     return samples, stats
 

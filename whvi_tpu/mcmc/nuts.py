@@ -18,7 +18,10 @@ Semantics per draw:
   probability ``w_new / (w_old + w_new)`` (multinomial), and expansion
   stops when the full trajectory U-turns.
 
-Step size is dual-averaged during warmup exactly as in mcmc.hmc.
+Step size is dual-averaged during warmup exactly as in mcmc.hmc, and a
+diagonal mass matrix is adapted in expanding warmup windows (Stan phase
+II; shared machinery in mcmc.adapt) — momenta are drawn from the
+estimated metric and the U-turn criterion uses metric-weighted momenta.
 """
 
 from __future__ import annotations
@@ -40,6 +43,9 @@ class NUTSConfig:
     init_step_size: float = 1e-2
     target_accept: float = 0.8
     adapt: bool = True
+    # Windowed diagonal mass-matrix adaptation (Stan phase II; see
+    # mcmc.adapt) — on by default, same rationale as HMCConfig.
+    mass_adapt: bool = True
 
 
 def _flat(tree):
@@ -72,19 +78,26 @@ def nuts_sample(
 
     grad_vec = jax.grad(logp_vec)
 
-    def leapfrog(q, p, eps):
+    def leapfrog(q, p, eps, m_inv):
         p = p + 0.5 * eps * grad_vec(q)
-        q = q + eps * p
+        q = q + eps * (m_inv * p)
         p = p + 0.5 * eps * grad_vec(q)
         return q, p
 
-    def uturn(q_minus, q_plus, p_minus, p_plus):
+    def uturn(q_minus, q_plus, p_minus, p_plus, m_inv):
+        # rate of change of q is m_inv * p, so the U-turn projection
+        # uses the metric-weighted momenta (Stan's criterion)
         dq = q_plus - q_minus
-        return (jnp.dot(dq, p_minus) < 0.0) | (jnp.dot(dq, p_plus) < 0.0)
+        return (jnp.dot(dq, m_inv * p_minus) < 0.0) | (
+            jnp.dot(dq, m_inv * p_plus) < 0.0
+        )
+
+    def kin(p, m_inv):
+        return 0.5 * jnp.dot(p, m_inv * p)
 
     NEG_INF = jnp.asarray(-jnp.inf)
 
-    def build_tree(depth, q, p, direction, eps, h0, key):
+    def build_tree(depth, q, p, direction, eps, h0, key, m_inv):
         """Statically-unrolled subtree of 2^depth leapfrog steps.
 
         Returns (q_minus, p_minus, q_plus, p_plus, q_prop, log_w,
@@ -92,19 +105,19 @@ def nuts_sample(
         (already in ``direction``'s frame: we integrate with signed eps,
         so minus/plus here are 'start edge'/'far edge')."""
         if depth == 0:
-            q1, p1 = leapfrog(q, p, direction * eps)
-            h1 = -logp_vec(q1) + 0.5 * jnp.dot(p1, p1)
+            q1, p1 = leapfrog(q, p, direction * eps, m_inv)
+            h1 = -logp_vec(q1) + kin(p1, m_inv)
             log_w = h0 - h1  # multinomial weight relative to start energy
             diverged = ~jnp.isfinite(log_w) | (log_w < -1000.0)
             log_w = jnp.where(diverged, NEG_INF, log_w)
             return q1, p1, q1, p1, q1, log_w, diverged, diverged
         k1, k2, k3 = jax.random.split(key, 3)
         (qm, pm, qp, pp, prop_l, lw_l, turn_l, div_l) = build_tree(
-            depth - 1, q, p, direction, eps, h0, k1
+            depth - 1, q, p, direction, eps, h0, k1, m_inv
         )
         # grow from the far edge of the left subtree
         (qm2, pm2, qp2, pp2, prop_r, lw_r, turn_r, div_r) = build_tree(
-            depth - 1, qp, pp, direction, eps, h0, k2
+            depth - 1, qp, pp, direction, eps, h0, k2, m_inv
         )
         total = jnp.logaddexp(lw_l, lw_r)
         take_right = (
@@ -117,21 +130,35 @@ def nuts_sample(
             jnp.where(direction > 0, qp2, qm),
             jnp.where(direction > 0, pm, pp2),
             jnp.where(direction > 0, pp2, pm),
+            m_inv,
         )
         turned = turn_l | turn_r | turned_here
         log_w = jnp.where(turn_r, lw_l, total)
         return qm, pm, qp2, pp2, prop, log_w, turned, div_l | div_r
 
-    mu = jnp.log(10.0 * cfg.init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
+    from whvi_tpu.mcmc.adapt import (
+        warmup_schedule,
+        welford_init,
+        welford_update,
+        window_update,
+    )
+
+    acc_mask, end_mask = (
+        warmup_schedule(cfg.n_warmup)
+        if (cfg.adapt and cfg.mass_adapt)
+        else (jnp.zeros(cfg.n_warmup, bool), jnp.zeros(cfg.n_warmup, bool))
+    )
+    pad_mask = jnp.zeros(cfg.n_samples, bool)
+    acc_mask = jnp.concatenate([jnp.asarray(acc_mask), pad_mask])
+    end_mask = jnp.concatenate([jnp.asarray(end_mask), pad_mask])
 
     def draw(carry, inp):
-        q, da_state, i = carry
-        key = inp
+        q, mu, log_eps, log_eps_bar, h_bar, da_t, m_inv, wf, i = carry
+        key, w_acc, w_end = inp
         k_mom, k_dirs, k_tree, k_acc = jax.random.split(key, 4)
-        p0 = jax.random.normal(k_mom, (dim,))
-        h0 = -logp_vec(q) + 0.5 * jnp.dot(p0, p0)
-        log_eps, log_eps_bar, h_bar = da_state
+        p0 = jax.random.normal(k_mom, (dim,)) * jax.lax.rsqrt(m_inv)
+        h0 = -logp_vec(q) + kin(p0, m_inv)
         eps = jnp.exp(log_eps)
 
         # trajectory state
@@ -152,7 +179,7 @@ def nuts_sample(
             edge_q = jnp.where(direction > 0, q_plus, q_minus)
             edge_p = jnp.where(direction > 0, p_plus, p_minus)
             (qm, pm, qp, pp, prop_j, lw_j, turn_j, div_j) = build_tree(
-                j, edge_q, edge_p, direction, eps, h0, tree_keys[j]
+                j, edge_q, edge_p, direction, eps, h0, tree_keys[j], m_inv
             )
             any_div = any_div | (div_j & ~stopped)
             # mean acceptance statistic for dual averaging (per doubling)
@@ -172,39 +199,63 @@ def nuts_sample(
             p_minus = jnp.where(usable & (direction < 0), pp, p_minus)
             q_plus = jnp.where(usable & (direction > 0), qp, q_plus)
             p_plus = jnp.where(usable & (direction > 0), pp, p_plus)
-            full_turn = uturn(q_minus, q_plus, p_minus, p_plus)
+            full_turn = uturn(q_minus, q_plus, p_minus, p_plus, m_inv)
             stopped = stopped | turn_j | full_turn
 
         accept_stat = jnp.where(n_alpha > 0, sum_alpha / n_alpha, 0.0)
 
-        # dual averaging
+        # dual averaging (t counts draws since the last window restart)
         in_warmup = i < cfg.n_warmup
-        t = i.astype(jnp.float32) + 1.0
+        t = da_t.astype(jnp.float32) + 1.0
         h_bar_new = (1.0 - 1.0 / (t + t0)) * h_bar + (
             cfg.target_accept - accept_stat
         ) / (t + t0)
         log_eps_new = mu - jnp.sqrt(t) / gamma * h_bar_new
         w = t ** (-kappa)
         log_eps_bar_new = w * log_eps_new + (1.0 - w) * log_eps_bar
-        da_state = jax.lax.cond(
-            in_warmup & cfg.adapt,
-            lambda: (log_eps_new, log_eps_bar_new, h_bar_new),
-            lambda: (log_eps_bar, log_eps_bar, h_bar),
+        da_on = in_warmup & cfg.adapt
+        log_eps = jnp.where(da_on, log_eps_new, log_eps_bar)
+        log_eps_bar = jnp.where(da_on, log_eps_bar_new, log_eps_bar)
+        h_bar = jnp.where(da_on, h_bar_new, h_bar)
+        da_t = da_t + 1
+
+        # mass-matrix window (Stan phase II; see mcmc.adapt): accumulate
+        # the selected draw, update the metric + restart dual averaging
+        # at window ends
+        wf = welford_update(wf, prop, w_acc)
+        wf, m_inv = window_update(wf, m_inv, w_end)
+        mu = jnp.where(w_end, jnp.log(10.0) + log_eps, mu)
+        log_eps_bar = jnp.where(w_end, log_eps, log_eps_bar)
+        h_bar = jnp.where(w_end, 0.0, h_bar)
+        da_t = jnp.where(w_end, 0, da_t)
+        return (
+            (prop, mu, log_eps, log_eps_bar, h_bar, da_t, m_inv, wf, i + 1),
+            (prop, accept_stat, any_div),
         )
-        return (prop, da_state, i + 1), (prop, accept_stat, any_div)
 
     total = cfg.n_warmup + cfg.n_samples
     keys = jax.random.split(key, total)
-    da0 = (jnp.log(cfg.init_step_size), jnp.log(cfg.init_step_size), 0.0)
-    (_, da_final, _), (qs, alphas, divs) = jax.lax.scan(
-        draw, (q0_vec, da0, jnp.asarray(0, jnp.int32)), keys
+    carry0 = (
+        q0_vec,
+        jnp.log(10.0 * cfg.init_step_size),
+        jnp.log(cfg.init_step_size),
+        jnp.log(cfg.init_step_size),
+        jnp.zeros(()),
+        jnp.asarray(0, jnp.int32),
+        jnp.ones((dim,)),
+        welford_init(dim),
+        jnp.asarray(0, jnp.int32),
+    )
+    carry, (qs, alphas, divs) = jax.lax.scan(
+        draw, carry0, (keys, acc_mask, end_mask)
     )
     qs = qs[cfg.n_warmup :]
     samples = jax.vmap(unflat)(qs)
     stats = {
         "accept_stat": jnp.mean(alphas[cfg.n_warmup :]),
-        "step_size": jnp.exp(da_final[1]),
+        "step_size": jnp.exp(carry[3]),
         "divergences": jnp.sum(divs[cfg.n_warmup :].astype(jnp.int32)),
+        "inv_mass": carry[6],
     }
     return samples, stats
 

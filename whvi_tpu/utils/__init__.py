@@ -4,6 +4,7 @@ from whvi_tpu.utils.profiling import (
     chain_time,
     elbo_step_flops,
     fwht_flops,
+    net_train_step_flops,
     v5e_peak_flops,
     whvi_layer_train_flops,
     whvi_mul_flops,
@@ -16,6 +17,7 @@ __all__ = [
     "chain_time",
     "elbo_step_flops",
     "fwht_flops",
+    "net_train_step_flops",
     "v5e_peak_flops",
     "whvi_layer_train_flops",
     "whvi_mul_flops",

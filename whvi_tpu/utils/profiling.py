@@ -34,6 +34,7 @@ __all__ = [
     "fwht_flops",
     "whvi_mul_flops",
     "whvi_layer_train_flops",
+    "net_train_step_flops",
     "elbo_step_flops",
     "v5e_peak_flops",
     "V5E_HBM_GBPS",
@@ -87,6 +88,28 @@ def whvi_layer_train_flops(
     per_product = whvi_mul_flops(D, batch) * stack
     n_products = 2 if lrt else 1
     return 2 * n_products * per_product
+
+
+def net_train_step_flops(net, batch: int, n_samples: int | None = None) -> int:
+    """Analytic MXU FLOPs of one ELBO train step of an arbitrary
+    ``WHVINetwork`` (introspects each WHVI layer's matrix construction;
+    column layers are O(n) with no matmul and excluded)."""
+    S = getattr(net, "train_samples", 1) if n_samples is None else n_samples
+    total = 0
+    for layer in net.layers:
+        if not hasattr(layer, "matrix"):
+            continue
+        m = layer.matrix
+        name = type(m).__name__
+        lrt = getattr(layer, "lrt", True)
+        if name == "SquarePow2Matrix":
+            total += whvi_layer_train_flops(m.D, batch, lrt=lrt)
+        elif name == "StackedMatrix":
+            D_in, _, _, stack = m.dims
+            total += whvi_layer_train_flops(D_in, batch, stack=stack, lrt=lrt)
+        elif name == "PaddedSquareMatrix":
+            total += whvi_layer_train_flops(m.D, batch, lrt=lrt)
+    return S * total
 
 
 def elbo_step_flops(
