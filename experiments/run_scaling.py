@@ -161,8 +161,11 @@ def main():
                 float(pred_scan(jax.random.PRNGKey(1), k))
                 return time.perf_counter() - t0
 
-            # forward-only MXU flops: 2 square LRT layers, 2 products each
-            flops = args.samples * 2 * (2 * whvi_mul_flops(D, args.batch))
+            # forward-only MXU flops: 2 square layers, ONE fused product
+            # each (the merged-u LRT; see utils.profiling
+            # whvi_layer_fwd_flops — the earlier 2-product count produced
+            # an impossible >100%-MFU row, caught by this very audit)
+            flops = args.samples * 2 * whvi_mul_flops(D, args.batch)
             prun(args.steps)
             prun(2 * args.steps)
             for _ in range(args.repeats):

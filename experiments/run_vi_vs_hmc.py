@@ -338,7 +338,9 @@ def nonlinear_tier(seed=0, n_train=64, epochs=20000):
 # --------------------------------------------------------- mixed-lambda tier
 
 
-def mixed_lambda_tier(seed=0, n_train=64, epochs=8000):
+def mixed_lambda_tier(
+    seed=0, n_train=64, epochs=8000, n_draws=800, tree_depth=6
+):
     """Before/after demonstration of the mass-matrix adaptation on the
     FLAGSHIP prior mix: hidden layer lambda = 3, output layer
     lambda = 1e-5 — prior stddevs sqrt(3) vs sqrt(1e-5), a ~550x scale
@@ -415,9 +417,9 @@ def mixed_lambda_tier(seed=0, n_train=64, epochs=8000):
             init,
             jax.random.PRNGKey(seed + 7),
             NUTSConfig(
-                n_samples=1000,
-                n_warmup=1000,
-                max_tree_depth=8,
+                n_samples=n_draws,
+                n_warmup=n_draws,
+                max_tree_depth=tree_depth,
                 target_accept=0.9,
                 mass_adapt=mass,
             ),

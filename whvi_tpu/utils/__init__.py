@@ -6,6 +6,7 @@ from whvi_tpu.utils.profiling import (
     fwht_flops,
     net_train_step_flops,
     v5e_peak_flops,
+    whvi_layer_fwd_flops,
     whvi_layer_train_flops,
     whvi_mul_flops,
 )
@@ -19,6 +20,7 @@ __all__ = [
     "fwht_flops",
     "net_train_step_flops",
     "v5e_peak_flops",
+    "whvi_layer_fwd_flops",
     "whvi_layer_train_flops",
     "whvi_mul_flops",
 ]

@@ -33,6 +33,7 @@ __all__ = [
     "chain_time",
     "fwht_flops",
     "whvi_mul_flops",
+    "whvi_layer_fwd_flops",
     "whvi_layer_train_flops",
     "net_train_step_flops",
     "elbo_step_flops",
@@ -73,21 +74,34 @@ def whvi_mul_flops(D: int, batch: int) -> int:
     return 2 * fwht_flops(D, batch)
 
 
+def whvi_layer_fwd_flops(
+    D: int, batch: int, stack: int = 1, lrt: bool = True
+) -> int:
+    """MXU FLOPs of one FORWARD pass through one WHVI layer, per MC
+    sample: exactly ONE fused product. The textbook LRT evaluates two
+    products (``W(mu) x + W(sigma*eps) x``, reference
+    src/weights.py:87-93) but ``W_bar(u)`` is linear in ``u`` so this
+    implementation merges them into one product with
+    ``u = mu + sigma*eps`` (models/weights.py SquarePow2Matrix.apply) --
+    LRT and explicit sampling cost the same here. (The first version of
+    this counter charged the LRT 2 products; the MFU audit it feeds
+    caught the overcount as a >100% serving MFU row --
+    sweeps/r3_tpu_queue1.log.)"""
+    del lrt  # same cost either way (merged-u LRT)
+    return whvi_mul_flops(D, batch) * stack
+
+
 def whvi_layer_train_flops(
     D: int, batch: int, stack: int = 1, lrt: bool = True
 ) -> int:
     """MXU FLOPs of one TRAIN step through one WHVI layer, per MC sample.
 
-    Forward: the LRT evaluates two products per layer (``W(mu) x`` and
-    ``W(sigma*eps) x``, reference src/weights.py:87-93), the explicit
-    path one. Backward: H is a *constant*, so each product's VJP w.r.t.
-    ``x`` is one more product of the same cost (self-adjoint transform)
-    and the diagonal/param gradients are elementwise reductions with no
+    Backward: H is a *constant*, so the product's VJP w.r.t. ``x`` is
+    one more product of the same cost (self-adjoint transform) and the
+    diagonal/param gradients are elementwise reductions with no
     matmuls -- fwd+bwd is exactly 2x forward (unlike dense layers' 3x).
     """
-    per_product = whvi_mul_flops(D, batch) * stack
-    n_products = 2 if lrt else 1
-    return 2 * n_products * per_product
+    return 2 * whvi_layer_fwd_flops(D, batch, stack, lrt)
 
 
 def net_train_step_flops(net, batch: int, n_samples: int | None = None) -> int:
