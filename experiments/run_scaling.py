@@ -69,6 +69,16 @@ def main():
         "fp32 via Precision.HIGHEST, ~1/4 the MXU rate on v5e)",
     )
     ap.add_argument(
+        "--dtype",
+        default="f32",
+        choices=("f32", "bf16"),
+        help="parameter/activation dtype: bf16 halves HBM transport of "
+        "the layer-to-layer and transform-to-transform activations "
+        "(MXU operands are bf16-rounded in default precision anyway; "
+        "accumulation stays fp32) — the lever for the HBM-bound "
+        "large-D regime",
+    )
+    ap.add_argument(
         "--repeats",
         type=int,
         default=1,
@@ -112,8 +122,9 @@ def main():
             train_samples=args.samples,
         )
         rng = np.random.RandomState(0)
-        X = rng.randn(args.batch, D).astype(np.float32)
-        y = rng.randn(args.batch, 1).astype(np.float32)
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+        X = jnp.asarray(rng.randn(args.batch, D), dtype)
+        y = jnp.asarray(rng.randn(args.batch, 1), dtype)
 
         if args.mesh:
             d, s = (int(v) for v in args.mesh.split("x"))
@@ -132,7 +143,7 @@ def main():
             pred = make_sharded_predict(net, mesh, n_samples=args.samples)
             params = jax.device_put(
                 Trainer(net, TrainConfig())
-                .init(jax.random.PRNGKey(0))
+                .init(jax.random.PRNGKey(0), dtype=dtype)
                 .params,
                 NamedSharding(mesh, P()),
             )
@@ -181,6 +192,7 @@ def main():
                             "mc_samples": args.samples,
                             "mesh": dict(mesh.shape),
                             "precision": args.precision,
+                            "dtype": args.dtype,
                             "call_ms": round(dt * 1e3, 3),
                             "pred_samples_per_s": round(
                                 args.samples * args.batch / dt, 1
@@ -200,7 +212,7 @@ def main():
             net, tx, mesh, n_samples=args.samples
         )
         trainer = Trainer(net, TrainConfig())
-        state = shard_state(trainer.init(jax.random.PRNGKey(0)))
+        state = shard_state(trainer.init(jax.random.PRNGKey(0), dtype=dtype))
         xb, yb = shard_batch(X, y)
 
         # All steps of a measurement run inside ONE compiled lax.scan
@@ -231,6 +243,7 @@ def main():
                         "mc_samples": args.samples,
                         "mesh": dict(mesh.shape),
                         "precision": args.precision,
+                        "dtype": args.dtype,
                         "step_ms": round(dt * 1e3, 2),
                         "elbo_steps_per_s": round(1.0 / dt, 2),
                         "posterior_samples_per_s": round(

@@ -15,6 +15,9 @@ timeout 3000 python experiments/run_scaling.py --sizes 4096 16384 \
 echo "=== train_highest_corrected_flops $(date +%T)"
 timeout 3000 python experiments/run_scaling.py --sizes 4096 16384 \
   --precision highest --repeats 1 2>/dev/null
+echo "=== train_bf16_activations $(date +%T)"
+timeout 3000 python experiments/run_scaling.py --sizes 4096 16384 \
+  --dtype bf16 --repeats 2 2>/dev/null
 echo "=== largeD_exact_old_config $(date +%T)"
 timeout 3600 python experiments/run_scaling.py --sizes 16384 32768 \
   --batch 128 --samples 4 --repeats 3 2>/dev/null

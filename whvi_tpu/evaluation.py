@@ -111,6 +111,69 @@ def evaluate_bayesian_regression(
     if config.scale_reference_exact:
         X = standardize(X)
 
+    # The model, config and Trainer are identical for every split —
+    # build them ONCE so all splits share one set of compiled programs.
+    # (Until round 3 these lived inside the split loop: a fresh Trainer
+    # per split meant a fresh jit cache, i.e. a full train-step
+    # recompile per split — ~8x the compile cost over this
+    # environment's slow remote-compile tunnel.)
+    head_out = 2 * n_out if config.heteroscedastic else n_out
+    net = WHVIRegression(
+        mlp_layers(
+            n_in,
+            head_out,
+            hidden=config.hidden,
+            lambda_hidden=config.lambda_hidden,
+            lambda_last=config.lambda_last,
+            activation=None,
+            rect_mode=config.rect_mode,
+            bias=config.bias,
+        ),
+        sigma0=config.sigma0,
+        train_samples=config.train_samples,
+        eval_samples=config.eval_samples,
+    )
+    if config.heteroscedastic:
+        from whvi_tpu.models import HeteroscedasticGaussianLikelihood
+
+        net = dataclasses.replace(
+            net, likelihood=HeteroscedasticGaussianLikelihood()
+        )
+    # apply s_init / noise options to every WHVI layer
+    net = dataclasses.replace(
+        net,
+        layers=tuple(
+            dataclasses.replace(
+                l,
+                s_init=config.s_init,
+                per_example_noise=config.per_example_noise,
+            )
+            if hasattr(l, "s_init")
+            else l
+            for l in net.layers
+        ),
+    )
+    total = config.epochs1 + config.epochs2
+    steps_per_epoch = -(-(n - n_test) // config.batch_size)
+    tcfg = TrainConfig(
+        batch_size=config.batch_size,
+        epochs1=config.epochs1,
+        epochs2=config.epochs2,
+        checkpoint_every=config.checkpoint_every,
+        ignore_kl=config.ignore_kl,
+        kl_warmup_steps=int(
+            total * steps_per_epoch * config.kl_warmup_frac
+        ),
+    )
+    trainer = Trainer(net, tcfg, mesh=mesh)
+    # one jitted predict shared by the heteroscedastic/normalize-y
+    # metric fallbacks below (was a fresh jit(lambda) per split)
+    import jax.numpy as jnp
+
+    predict_fn = jax.jit(
+        lambda p, x, k: net.predict(p, x, k, config.eval_samples)
+    )
+
     rng = np.random.RandomState(config.seed)
     results = []
     for split in range(config.n_splits):
@@ -121,55 +184,6 @@ def evaluate_bayesian_regression(
         if not config.scale_reference_exact:
             X_tr, X_te = standardize(X_tr, X_te)
 
-        head_out = 2 * n_out if config.heteroscedastic else n_out
-        net = WHVIRegression(
-            mlp_layers(
-                n_in,
-                head_out,
-                hidden=config.hidden,
-                lambda_hidden=config.lambda_hidden,
-                lambda_last=config.lambda_last,
-                activation=None,
-                rect_mode=config.rect_mode,
-                bias=config.bias,
-            ),
-            sigma0=config.sigma0,
-            train_samples=config.train_samples,
-            eval_samples=config.eval_samples,
-        )
-        if config.heteroscedastic:
-            from whvi_tpu.models import HeteroscedasticGaussianLikelihood
-
-            net = dataclasses.replace(
-                net, likelihood=HeteroscedasticGaussianLikelihood()
-            )
-        # apply s_init / noise options to every WHVI layer
-        net = dataclasses.replace(
-            net,
-            layers=tuple(
-                dataclasses.replace(
-                    l,
-                    s_init=config.s_init,
-                    per_example_noise=config.per_example_noise,
-                )
-                if hasattr(l, "s_init")
-                else l
-                for l in net.layers
-            ),
-        )
-        total = config.epochs1 + config.epochs2
-        steps_per_epoch = -(-len(train_idx) // config.batch_size)
-        tcfg = TrainConfig(
-            batch_size=config.batch_size,
-            epochs1=config.epochs1,
-            epochs2=config.epochs2,
-            checkpoint_every=config.checkpoint_every,
-            ignore_kl=config.ignore_kl,
-            kl_warmup_steps=int(
-                total * steps_per_epoch * config.kl_warmup_frac
-            ),
-        )
-        trainer = Trainer(net, tcfg, mesh=mesh)
         state = trainer.init(jax.random.PRNGKey(config.seed * 1000 + split))
         split_dir = (
             os.path.join(ckpt_dir, f"split-{split}") if ckpt_dir else None
@@ -190,11 +204,9 @@ def evaluate_bayesian_regression(
             state.params, X_te, y_te_fit, jax.random.PRNGKey(split)
         )
         if config.heteroscedastic and "rmse" not in metrics:
-            import jax.numpy as jnp
-
-            y_hat = jax.jit(
-                lambda p, x, k: net.predict(p, x, k, config.eval_samples)
-            )(state.params, jnp.asarray(X_te), jax.random.PRNGKey(split))
+            y_hat = predict_fn(
+                state.params, jnp.asarray(X_te), jax.random.PRNGKey(split)
+            )
             mean, _ = net.likelihood.split(y_hat)
             pred = np.asarray(jnp.mean(mean, axis=0))
             metrics["rmse"] = float(
@@ -202,12 +214,8 @@ def evaluate_bayesian_regression(
             )
         if config.normalize_y:
             # convert normalized-unit metrics back to original units
-            import jax.numpy as jnp
-
             key = jax.random.PRNGKey(split)
-            y_hat = jax.jit(
-                lambda p, x, k: net.predict(p, x, k, config.eval_samples)
-            )(state.params, jnp.asarray(X_te), key)
+            y_hat = predict_fn(state.params, jnp.asarray(X_te), key)
             if config.heteroscedastic:
                 y_hat, _ = net.likelihood.split(y_hat)
             y_hat_orig = np.asarray(y_hat) * sd_y[None] + mu_y[None]
