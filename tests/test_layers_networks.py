@@ -90,11 +90,25 @@ def test_heteroscedastic_mnll_matches_manual():
     n = 10
     got = float(lik.mnll({}, y, y_hat, n))
     mean = np.asarray(y_hat)[..., :O]
-    sigma = np.log1p(np.exp(np.asarray(y_hat)[..., O:]))
+    # sigma = softplus(raw + shift), shift = inv_softplus(sigma0 - sigma_min)
+    shift = np.log(np.expm1(1.0))
+    sigma = np.log1p(np.exp(np.asarray(y_hat)[..., O:] + shift))
     z = (np.asarray(y)[None] - mean) / sigma
     lp = -0.5 * z**2 - 0.5 * np.log(2 * np.pi) - np.log(sigma)
     expect = -n / (S * B) * lp.sum()
     np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+
+def test_heteroscedastic_sigma0_sets_init_scale():
+    # With the head emitting raw_sigma == 0 (the WHVI-layer init regime),
+    # the noise stddev must come out ~= sigma0 for any sigma0.
+    for sigma0 in (0.1, 0.3, 1.0):
+        lik = HeteroscedasticGaussianLikelihood(sigma0=sigma0)
+        y_hat = jnp.zeros((1, 2, 2))
+        _, sigma = lik.split(y_hat)
+        np.testing.assert_allclose(
+            np.asarray(sigma), sigma0, rtol=1e-4, atol=1e-4
+        )
 
 
 def test_categorical_mnll_matches_manual():

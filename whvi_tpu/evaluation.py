@@ -137,7 +137,10 @@ def evaluate_bayesian_regression(
         from whvi_tpu.models import HeteroscedasticGaussianLikelihood
 
         net = dataclasses.replace(
-            net, likelihood=HeteroscedasticGaussianLikelihood()
+            net,
+            likelihood=HeteroscedasticGaussianLikelihood(
+                sigma0=config.sigma0
+            ),
         )
     # apply s_init / noise options to every WHVI layer
     net = dataclasses.replace(

@@ -131,12 +131,17 @@ class HeteroscedasticGaussianLikelihood:
     """Gaussian likelihood with input-dependent noise.
 
     The network emits ``2 * n_out`` features per point: ``[mean,
-    raw_sigma]`` split on the last axis, ``sigma = softplus(raw_sigma) +
-    sigma_min``. New capability over the reference (BASELINE.json UCI
-    protein/kin8nm config).
+    raw_sigma]`` split on the last axis, ``sigma = softplus(raw_sigma +
+    shift) + sigma_min`` with ``shift = inv_softplus(sigma0)``. Since
+    the WHVI head output is near 0 at init (0.01-scale weight means),
+    the shift makes ``sigma0`` the *initial* noise scale — the same
+    lever the homoscedastic likelihood exposes, which the tuned UCI
+    recipes set to 0.1-0.3 on normalized targets. New capability over
+    the reference (BASELINE.json UCI protein/kin8nm config).
     """
 
     sigma_min: float = 1e-4
+    sigma0: float = 1.0
 
     def init(self, dtype=jnp.float32) -> dict:
         del dtype
@@ -144,7 +149,8 @@ class HeteroscedasticGaussianLikelihood:
 
     def split(self, y_hat: jax.Array):
         mean, raw = jnp.split(y_hat, 2, axis=-1)
-        return mean, jax.nn.softplus(raw) + self.sigma_min
+        shift = _inv_softplus(max(self.sigma0 - self.sigma_min, 1e-6))
+        return mean, jax.nn.softplus(raw + shift) + self.sigma_min
 
     def mnll(
         self,
