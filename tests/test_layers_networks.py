@@ -5,6 +5,8 @@ test/networks.py (shape contract over output dims, interop with
 deterministic layers), adapted to the sample-axis-first convention.
 """
 
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -169,6 +171,32 @@ def test_eval_metrics_includes_predictive_mnll():
     assert "pred_mnll_per_point" in m
     # Jensen: predictive MNLL <= mean-of-log MNLL per point
     assert float(m["pred_mnll_per_point"]) <= float(m["mnll_per_point"]) + 1e-5
+
+
+def test_coverage95_calibrated_gaussian():
+    # A perfectly specified predictive — y drawn from N(mean, sigma)
+    # with the likelihood's (mean, sd) moments — must cover ~95%.
+    sigma = 0.7
+    lik = GaussianLikelihood(sigma0=sigma)
+    net = WHVIRegression([Dense(2, 1)])
+    net = dataclasses.replace(net, likelihood=lik)
+    B = 4000
+    mean = jax.random.normal(jax.random.PRNGKey(0), (B, 1))
+    y_hat = mean[None]  # S=1: predictive sd == likelihood sigma
+    y = mean + sigma * jax.random.normal(jax.random.PRNGKey(1), (B, 1))
+    params = {"likelihood": lik.init()}
+    m = net.metrics_from_predictions(params, y, y_hat)
+    assert 0.93 < float(m["coverage95"]) < 0.97
+    # heteroscedastic variant: sigma emitted per point via the raw head
+    hlik = HeteroscedasticGaussianLikelihood(sigma_min=0.0, sigma0=1.0)
+    hnet = dataclasses.replace(net, likelihood=hlik)
+    sig_pp = 0.2 + 0.8 * jax.random.uniform(jax.random.PRNGKey(2), (B, 1))
+    shift = float(np.log(np.expm1(1.0)))
+    raw = jnp.log(jnp.expm1(sig_pp)) - shift  # softplus(raw+shift)=sig_pp
+    y_hat_h = jnp.concatenate([mean, raw], axis=-1)[None]
+    y_h = mean + sig_pp * jax.random.normal(jax.random.PRNGKey(3), (B, 1))
+    mh = hnet.metrics_from_predictions({"likelihood": {}}, y_h, y_hat_h)
+    assert 0.93 < float(mh["coverage95"]) < 0.97
 
 
 @pytest.mark.parametrize("k", [1, 3])

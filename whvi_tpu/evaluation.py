@@ -231,6 +231,13 @@ def evaluate_bayesian_regression(
                 "rmse": rmse,
                 "mnll": metrics["mnll"] + n_te * log_sd_total,
                 "mnll_per_point": metrics["mnll_per_point"] + log_sd_total,
+                # coverage is affine-invariant: normalized-unit value IS
+                # the original-unit value
+                **(
+                    {"coverage95": metrics["coverage95"]}
+                    if "coverage95" in metrics
+                    else {}
+                ),
                 # density change of variables: -log p_orig = -log p_norm
                 # + sum_d log sd_d, identically for the predictive metric
                 **(
@@ -252,6 +259,8 @@ def evaluate_bayesian_regression(
         }
         if "pred_mnll_per_point" in metrics:
             entry["pred_mnll_per_point"] = metrics["pred_mnll_per_point"]
+        if "coverage95" in metrics:
+            entry["coverage95"] = float(metrics["coverage95"])
         results.append(entry)
         if log_fn:
             log_fn(entry)
@@ -272,4 +281,8 @@ def evaluate_bayesian_regression(
         pp = np.array([r["pred_mnll_per_point"] for r in results])
         out["pred_mnll_per_point_mean"] = float(pp.mean())
         out["pred_mnll_per_point_sd"] = float(pp.std())
+    if all("coverage95" in r for r in results):
+        cov = np.array([r["coverage95"] for r in results])
+        out["coverage95_mean"] = float(cov.mean())
+        out["coverage95_sd"] = float(cov.std())
     return out

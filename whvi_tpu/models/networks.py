@@ -160,6 +160,18 @@ class WHVINetwork:
                 jnp.mean(jnp.square(jnp.mean(y_hat, axis=0) - y))
             )
             out["rmse"] = rmse
+        if hasattr(self.likelihood, "predict"):
+            # 95% central-interval coverage (PICP) under the two-moment
+            # Gaussian approximation of the posterior predictive
+            # (likelihood.predict's mixture moments). Calibration
+            # metric: well-calibrated ≈ 0.95; affine-invariant, so
+            # normalized-target runs report it directly. Gaussian
+            # likelihoods only (categorical predict returns probs).
+            moments = self.likelihood.predict(params["likelihood"], y_hat)
+            if isinstance(moments, tuple) and y.ndim == moments[0].ndim:
+                mean, sd = moments
+                inside = jnp.abs(y - mean) <= 1.9599640 * sd
+                out["coverage95"] = jnp.mean(inside.astype(jnp.float32))
         return out
 
 
