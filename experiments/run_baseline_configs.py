@@ -72,15 +72,23 @@ def config3_deep_hetero(args):
     y_tr, y_te = y[:n_tr], y[n_tr:]
     s_te = s_true[n_tr:]
 
+    # lambda_last: round-2 used the UCI mean-regression prior 1e-5, which
+    # shrinks the WHOLE 2-wide head -- including the noise column -- to
+    # near-constant output; the learned noise curve could only reach
+    # corr 0.32 with the truth. The head emits [mean, raw_sigma], so the
+    # noise column needs a non-degenerate prior: default is now 1.0
+    # (--lambda-last to probe).
     hidden = (512, 512)
     net = WHVINetwork(
         layers=tuple(
             mlp_layers(
                 X.shape[1], 2, hidden=hidden, lambda_hidden=3.0,
-                lambda_last=1e-5,
+                lambda_last=args.lambda_last,
             )
         ),
-        likelihood=HeteroscedasticGaussianLikelihood(),
+        likelihood=HeteroscedasticGaussianLikelihood(
+            sigma0=args.hetero_sigma0
+        ),
         train_samples=1,
         eval_samples=64,
     )
@@ -111,6 +119,8 @@ def config3_deep_hetero(args):
     return {
         "config": "baseline-3-deep-hetero-D512",
         "hidden": list(hidden),
+        "lambda_last": args.lambda_last,
+        "hetero_sigma0": args.hetero_sigma0,
         "rmse": rmse,
         "pred_mnll_per_point": m.get("pred_mnll_per_point"),
         "learned_noise_corr_with_true": noise_corr,
@@ -172,6 +182,8 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--lambda-last", type=float, default=1.0)
+    ap.add_argument("--hetero-sigma0", type=float, default=0.3)
     args = ap.parse_args()
     out = []
     if "3" not in args.skip:
