@@ -243,6 +243,48 @@ def test_mesh_trainer_matches_single_device_training():
         )
 
 
+def test_mesh_trainer_heteroscedastic_matches_single_device():
+    # The 2*n_out heteroscedastic head under SPMD: the [mean, raw_sigma]
+    # split happens inside the sharded likelihood, so mesh training and
+    # mesh eval (incl. the coverage95 calibration metric) must match the
+    # single-device path exactly.
+    import dataclasses
+
+    from whvi_tpu.models import HeteroscedasticGaussianLikelihood
+
+    net = WHVIRegression(
+        [WHVILinear(4, 8, lambda_=1.0), relu, WHVILinear(8, 2)],
+        train_samples=4,
+        eval_samples=8,
+    )
+    net = dataclasses.replace(
+        net, likelihood=HeteroscedasticGaussianLikelihood(sigma0=0.3)
+    )
+    X, y = _data(n=37)
+    cfg = TrainConfig(
+        epochs1=1, epochs2=3, epochs_per_call=4, batch_size=16,
+        kl_warmup_steps=4,
+    )
+    t_ref = Trainer(net, cfg)
+    s_ref = t_ref.init(jax.random.PRNGKey(0))
+    s_ref, logs_ref = t_ref.fit(s_ref, X, y)
+    m_ref = t_ref.evaluate(s_ref.params, X, y, jax.random.PRNGKey(7))
+
+    mesh = make_mesh(data=2, sample=4)
+    t_mesh = Trainer(net, cfg, mesh=mesh)
+    s_mesh = t_mesh.init(jax.random.PRNGKey(0))
+    s_mesh, logs_mesh = t_mesh.fit(s_mesh, X, y)
+    m_mesh = t_mesh.evaluate(s_mesh.params, X, y, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(
+        logs_mesh[-1]["loss"], logs_ref[-1]["loss"], rtol=1e-4
+    )
+    for k in ("mnll", "pred_mnll_per_point", "coverage95"):
+        np.testing.assert_allclose(
+            float(m_mesh[k]), float(m_ref[k]), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_mesh_trainer_batch_not_divisible_by_data_shards():
     # batch_size 15 with data=2 shards: B rounds up to 16 and the pad
     # row carries weight 0 — training must still run and learn.
