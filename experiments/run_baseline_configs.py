@@ -92,7 +92,7 @@ def config3_deep_hetero(args):
         train_samples=1,
         eval_samples=64,
     )
-    epochs2 = 500 if args.quick else 5000
+    epochs2 = args.epochs2 or (500 if args.quick else 5000)
     cfg = TrainConfig(
         epochs1=100,
         epochs2=epochs2,
@@ -182,6 +182,7 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--epochs2", type=int, default=None)
     ap.add_argument("--lambda-last", type=float, default=1.0)
     ap.add_argument("--hetero-sigma0", type=float, default=0.3)
     args = ap.parse_args()
