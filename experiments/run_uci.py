@@ -53,6 +53,14 @@ def main():
         help="input-dependent noise head (BASELINE protein/kin8nm config)",
     )
     ap.add_argument("--normalize-y", action="store_true")
+    ap.add_argument(
+        "--lambda-last",
+        type=float,
+        default=None,
+        help="prior scale of the output head (default: protocol 1e-5; "
+        "heteroscedastic default 1.0 — 1e-5 shrinks the [mean, raw_sigma] "
+        "head to near-constant noise, docs/RESULTS.md round 3)",
+    )
     ap.add_argument("--sigma0", type=float, default=1.0)
     ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
     ap.add_argument("--train-samples", type=int, default=1)
@@ -104,6 +112,11 @@ def main():
         args.bias = False
         args.normalize_y = False
         args.heteroscedastic = False
+    if args.lambda_last is None:
+        # 1e-5 is the paper's mean-head prior; a heteroscedastic head
+        # shares it with the noise column, which 1e-5 pins to constant
+        # (round-3 A/B: corr 0.19 vs 0.69 — docs/RESULTS.md)
+        args.lambda_last = 1.0 if args.heteroscedastic else 1e-5
     cfg = ProtocolConfig(
         n_splits=args.splits,
         epochs1=args.epochs1,
@@ -112,6 +125,7 @@ def main():
         seed=args.seed,
         s_init=args.s_init if args.s_init == "auto" else float(args.s_init),
         kl_warmup_frac=args.kl_warmup_frac,
+        lambda_last=args.lambda_last,
         heteroscedastic=args.heteroscedastic,
         normalize_y=args.normalize_y,
         sigma0=args.sigma0,
