@@ -56,10 +56,16 @@ def main():
     ap.add_argument(
         "--lambda-last",
         type=float,
-        default=None,
-        help="prior scale of the output head (default: protocol 1e-5; "
-        "heteroscedastic default 1.0 — 1e-5 shrinks the [mean, raw_sigma] "
-        "head to near-constant noise, docs/RESULTS.md round 3)",
+        default=1e-5,
+        help="prior scale of the mean output head (protocol 1e-5)",
+    )
+    ap.add_argument(
+        "--lambda-noise",
+        type=float,
+        default=1.0,
+        help="prior scale of the heteroscedastic noise branch — the "
+        "head is a split-prior Parallel pair; a shared 1e-5 head pins "
+        "sigma(x) to constant (docs/RESULTS.md round 3)",
     )
     ap.add_argument("--sigma0", type=float, default=1.0)
     ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
@@ -112,11 +118,6 @@ def main():
         args.bias = False
         args.normalize_y = False
         args.heteroscedastic = False
-    if args.lambda_last is None:
-        # 1e-5 is the paper's mean-head prior; a heteroscedastic head
-        # shares it with the noise column, which 1e-5 pins to constant
-        # (round-3 A/B: corr 0.19 vs 0.69 — docs/RESULTS.md)
-        args.lambda_last = 1.0 if args.heteroscedastic else 1e-5
     cfg = ProtocolConfig(
         n_splits=args.splits,
         epochs1=args.epochs1,
@@ -126,6 +127,7 @@ def main():
         s_init=args.s_init if args.s_init == "auto" else float(args.s_init),
         kl_warmup_frac=args.kl_warmup_frac,
         lambda_last=args.lambda_last,
+        lambda_noise=args.lambda_noise,
         heteroscedastic=args.heteroscedastic,
         normalize_y=args.normalize_y,
         sigma0=args.sigma0,

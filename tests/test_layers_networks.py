@@ -173,6 +173,68 @@ def test_eval_metrics_includes_predictive_mnll():
     assert float(m["pred_mnll_per_point"]) <= float(m["mnll_per_point"]) + 1e-5
 
 
+def test_parallel_layer_concat_and_kl():
+    from whvi_tpu.models import Parallel
+
+    b0 = WHVILinear(8, 1, lambda_=1e-5)
+    b1 = WHVILinear(8, 1, lambda_=1.0)
+    par = Parallel((b0, b1))
+    key = jax.random.PRNGKey(0)
+    p = par.init(key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (5, 8))
+    y = par.apply(p, x, jax.random.PRNGKey(2))
+    assert y.shape == (5, 2)
+    # concat order is branch order, each branch applied with its own key
+    k0, k1 = jax.random.split(jax.random.PRNGKey(2), 2)
+    np.testing.assert_allclose(
+        np.asarray(y[:, :1]),
+        np.asarray(b0.apply(p["branches"][0], x, k0)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y[:, 1:]),
+        np.asarray(b1.apply(p["branches"][1], x, k1)),
+        rtol=1e-6,
+    )
+    # kl sums branch KLs
+    np.testing.assert_allclose(
+        float(par.kl(p)),
+        float(b0.kl(p["branches"][0])) + float(b1.kl(p["branches"][1])),
+        rtol=1e-6,
+    )
+
+
+def test_split_head_heteroscedastic_network_trains():
+    # WHVINetwork with a Parallel [mean, raw_sigma] split-prior head +
+    # heteroscedastic likelihood: full loss/grad path must work.
+    from whvi_tpu.models import Parallel
+
+    net = WHVIRegression(
+        [
+            WHVILinear(4, 8, lambda_=3.0),
+            relu,
+            Parallel(
+                (WHVILinear(8, 1, lambda_=1e-5), WHVILinear(8, 1, lambda_=1.0))
+            ),
+        ],
+        train_samples=2,
+    )
+    net = dataclasses.replace(
+        net, likelihood=HeteroscedasticGaussianLikelihood(sigma0=0.3)
+    )
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+    y = jax.random.normal(jax.random.PRNGKey(2), (16, 1))
+    loss, grads = jax.value_and_grad(
+        lambda p: net.loss(p, jax.random.PRNGKey(3), x, y, n=16)[0]
+    )(params)
+    assert np.isfinite(float(loss))
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+    )
+    assert gnorm > 0.0
+
+
 def test_coverage95_calibrated_gaussian():
     # A perfectly specified predictive — y drawn from N(mean, sigma)
     # with the likelihood's (mean, sd) moments — must cover ~95%.

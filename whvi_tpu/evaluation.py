@@ -62,8 +62,11 @@ class ProtocolConfig:
     kl_warmup_frac: float = 0.2  # fraction of total steps; 0 disables
     scale_reference_exact: bool = False  # standardize on full X like ref
     # Heteroscedastic Gaussian likelihood: the net emits [mean, raw_sd]
-    # per target (BASELINE.json protein/kin8nm config).
+    # per target (BASELINE.json protein/kin8nm config). The head is a
+    # split-prior Parallel pair: mean branch under lambda_last, noise
+    # branch under lambda_noise (see the head construction below).
     heteroscedastic: bool = False
+    lambda_noise: float = 1.0
     # Standardize targets for training and convert metrics back to the
     # original units (RMSE scales by sd_y; total MNLL gains
     # n * sum_d log sd_d). Default OFF: measured on yacht, training on
@@ -117,18 +120,41 @@ def evaluate_bayesian_regression(
     # per split meant a fresh jit cache, i.e. a full train-step
     # recompile per split — ~8x the compile cost over this
     # environment's slow remote-compile tunnel.)
-    head_out = 2 * n_out if config.heteroscedastic else n_out
+    layers = mlp_layers(
+        n_in,
+        n_out,
+        hidden=config.hidden,
+        lambda_hidden=config.lambda_hidden,
+        lambda_last=config.lambda_last,
+        activation=None,
+        rect_mode=config.rect_mode,
+        bias=config.bias,
+    )
+    if config.heteroscedastic:
+        # Split-prior head: the [mean, raw_sigma] columns get separate
+        # WHVI branches — mean keeps the protocol's lambda_last (1e-5),
+        # the noise column gets lambda_noise. A single shared head loses
+        # either way: 1e-5 pins sigma(x) to a constant, 1.0
+        # un-regularizes the mean (real-data A/B, RESULTS round 3).
+        from whvi_tpu.models import Parallel, WHVILinear
+
+        h_last = config.hidden[-1] if config.hidden else n_in
+        layers = layers[:-1] + [
+            Parallel(
+                (
+                    layers[-1],  # mean branch: the protocol head as built
+                    WHVILinear(
+                        h_last,
+                        n_out,
+                        lambda_=config.lambda_noise,
+                        rect_mode=config.rect_mode,
+                        bias=config.bias,
+                    ),
+                )
+            )
+        ]
     net = WHVIRegression(
-        mlp_layers(
-            n_in,
-            head_out,
-            hidden=config.hidden,
-            lambda_hidden=config.lambda_hidden,
-            lambda_last=config.lambda_last,
-            activation=None,
-            rect_mode=config.rect_mode,
-            bias=config.bias,
-        ),
+        layers,
         sigma0=config.sigma0,
         train_samples=config.train_samples,
         eval_samples=config.eval_samples,
@@ -142,19 +168,23 @@ def evaluate_bayesian_regression(
                 sigma0=config.sigma0
             ),
         )
-    # apply s_init / noise options to every WHVI layer
-    net = dataclasses.replace(
-        net,
-        layers=tuple(
-            dataclasses.replace(
+    # apply s_init / noise options to every WHVI layer (recursing into
+    # Parallel split-head branches)
+    def _with_opts(l):
+        if hasattr(l, "s_init"):
+            return dataclasses.replace(
                 l,
                 s_init=config.s_init,
                 per_example_noise=config.per_example_noise,
             )
-            if hasattr(l, "s_init")
-            else l
-            for l in net.layers
-        ),
+        if hasattr(l, "branches"):
+            return dataclasses.replace(
+                l, branches=tuple(_with_opts(b) for b in l.branches)
+            )
+        return l
+
+    net = dataclasses.replace(
+        net, layers=tuple(_with_opts(l) for l in net.layers)
     )
     total = config.epochs1 + config.epochs2
     steps_per_epoch = -(-(n - n_test) // config.batch_size)

@@ -1,6 +1,7 @@
 from whvi_tpu.models.layers import (
     Activation,
     Dense,
+    Parallel,
     WHVILinear,
     cosine,
     relu,
@@ -33,6 +34,7 @@ __all__ = [
     "Dense",
     "GaussianLikelihood",
     "PaddedSquareMatrix",
+    "Parallel",
     "HeteroscedasticGaussianLikelihood",
     "SquarePow2Matrix",
     "StackedMatrix",

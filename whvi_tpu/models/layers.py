@@ -31,7 +31,16 @@ from whvi_tpu.models.weights import (
 )
 from whvi_tpu.ops.hadamard import is_pow_of_2
 
-__all__ = ["WHVILinear", "Dense", "Activation", "relu", "cosine", "sigmoid", "tanh"]
+__all__ = [
+    "WHVILinear",
+    "Dense",
+    "Activation",
+    "Parallel",
+    "relu",
+    "cosine",
+    "sigmoid",
+    "tanh",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -149,6 +158,46 @@ class Dense:
         if self.bias:
             y = y + params["b"]
         return y
+
+
+@dataclasses.dataclass(frozen=True)
+class Parallel:
+    """Independent branches over the same input, outputs concatenated on
+    the last axis.
+
+    Built for split-prior output heads: a heteroscedastic ``[mean,
+    raw_sigma]`` head can give the mean column the protocol's tight
+    ``lambda=1e-5`` prior and the noise column a non-degenerate one.
+    With a single shared head either choice loses — ``1e-5`` pins the
+    noise curve to a constant, ``1.0`` un-regularizes the mean
+    (real-data A/B in docs/RESULTS.md round 3). Each branch draws its
+    own posterior noise (independent key folds).
+    """
+
+    branches: tuple
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
+        keys = jax.random.split(key, len(self.branches))
+        return {
+            "branches": tuple(
+                b.init(k, dtype) for b, k in zip(self.branches, keys)
+            )
+        }
+
+    def kl(self, params: dict) -> jax.Array:
+        return sum(
+            b.kl(p) for b, p in zip(self.branches, params["branches"])
+        )
+
+    def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
+        keys = jax.random.split(key, len(self.branches))
+        return jnp.concatenate(
+            [
+                b.apply(p, x, k)
+                for b, p, k in zip(self.branches, params["branches"], keys)
+            ],
+            axis=-1,
+        )
 
 
 @dataclasses.dataclass(frozen=True)
