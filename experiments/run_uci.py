@@ -67,6 +67,13 @@ def main():
         "head is a split-prior Parallel pair; a shared 1e-5 head pins "
         "sigma(x) to constant (docs/RESULTS.md round 3)",
     )
+    ap.add_argument(
+        "--noise-freeze-frac",
+        type=float,
+        default=0.5,
+        help="fraction of training with the noise branch frozen at its "
+        "sigma0 init (mean-first curriculum; heteroscedastic only)",
+    )
     ap.add_argument("--sigma0", type=float, default=1.0)
     ap.add_argument("--hidden", type=int, nargs="*", default=[128, 128])
     ap.add_argument("--train-samples", type=int, default=1)
@@ -128,6 +135,7 @@ def main():
         kl_warmup_frac=args.kl_warmup_frac,
         lambda_last=args.lambda_last,
         lambda_noise=args.lambda_noise,
+        noise_freeze_frac=args.noise_freeze_frac,
         heteroscedastic=args.heteroscedastic,
         normalize_y=args.normalize_y,
         sigma0=args.sigma0,

@@ -94,6 +94,56 @@ def test_phase2_trains_likelihood_sigma():
     assert float(state.params["likelihood"]["rho"]) != rho_before
 
 
+def _hetero_split_net():
+    import dataclasses
+
+    from whvi_tpu.models import (
+        HeteroscedasticGaussianLikelihood,
+        Parallel,
+    )
+
+    net = WHVIRegression(
+        [
+            WHVILinear(4, 8, lambda_=1.0),
+            relu,
+            Parallel(
+                (WHVILinear(8, 1, lambda_=1e-5), WHVILinear(8, 1, lambda_=1.0))
+            ),
+        ],
+        train_samples=2,
+        eval_samples=4,
+    )
+    return dataclasses.replace(
+        net, likelihood=HeteroscedasticGaussianLikelihood(sigma0=0.3)
+    )
+
+
+def test_noise_branch_freeze_schedule():
+    # noise_freeze_steps: the noise branch must hold its init while the
+    # mean branch trains, then move once past the threshold.
+    X, y = _toy_data()
+    net = _hetero_split_net()
+    # 20 epochs x 1 batch of 64 = 20 steps; freeze for the first 10
+    cfg = TrainConfig(
+        epochs1=0, epochs2=10, epochs_per_call=10, noise_freeze_steps=10
+    )
+    trainer = Trainer(net, cfg)
+    state = trainer.init(jax.random.PRNGKey(4))
+    snap = lambda s, i: [
+        np.array(a) for a in jax.tree.leaves(s.params["layers"][-1]["branches"][i])
+    ]
+    noise0, mean0 = snap(state, 1), snap(state, 0)
+    state, _ = trainer.fit(state, X, y)
+    noise1, mean1 = snap(state, 1), snap(state, 0)
+    for a, b in zip(noise0, noise1):
+        np.testing.assert_array_equal(a, b)
+    assert any(float(np.abs(a - b).max()) > 0 for a, b in zip(mean0, mean1))
+    # continue past the threshold: now the noise branch moves too
+    state, _ = trainer.fit(state, X, y)
+    noise2 = snap(state, 1)
+    assert any(float(np.abs(a - b).max()) > 0 for a, b in zip(noise1, noise2))
+
+
 def test_evaluate_metrics():
     X, y = _toy_data()
     net = _small_net()

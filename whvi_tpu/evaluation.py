@@ -67,6 +67,10 @@ class ProtocolConfig:
     # branch under lambda_noise (see the head construction below).
     heteroscedastic: bool = False
     lambda_noise: float = 1.0
+    # Fraction of total train steps with the noise branch frozen at its
+    # sigma0 init (mean-first curriculum; only applies to the split
+    # heteroscedastic head — see TrainConfig.noise_freeze_steps).
+    noise_freeze_frac: float = 0.5
     # Standardize targets for training and convert metrics back to the
     # original units (RMSE scales by sd_y; total MNLL gains
     # n * sum_d log sd_d). Default OFF: measured on yacht, training on
@@ -197,6 +201,11 @@ def evaluate_bayesian_regression(
         kl_warmup_steps=int(
             total * steps_per_epoch * config.kl_warmup_frac
         ),
+        noise_freeze_steps=int(
+            total * steps_per_epoch * config.noise_freeze_frac
+        )
+        if config.heteroscedastic
+        else 0,
     )
     trainer = Trainer(net, tcfg, mesh=mesh)
     # one jitted predict shared by the heteroscedastic/normalize-y

@@ -66,3 +66,25 @@ def mask_likelihood_grads(grads: dict, train_likelihood: jax.Array) -> dict:
         grads,
         likelihood=jax.tree.map(lambda g: g * flag, grads["likelihood"]),
     )
+
+
+def mask_noise_branch_grads(grads: dict, flag: jax.Array) -> dict:
+    """Zero the gradient subtree of the last layer's SECOND Parallel
+    branch (the heteroscedastic noise head) when ``flag == 0``.
+
+    The heteroscedastic analogue of :func:`mask_likelihood_grads`: with
+    input-dependent noise the "likelihood sigma" is a network output, so
+    the reference's phase-1 likelihood freeze has nothing to hold — and
+    an unfrozen per-point sigma is an escape hatch that lets the mean
+    under-fit (inflate sigma locally instead of fitting; real-data rows
+    in docs/RESULTS.md round 3). ``flag`` is traced so the freeze
+    schedule compiles into the one shared step.
+    """
+    flag = jnp.asarray(flag)
+    layers = list(grads["layers"])
+    head = dict(layers[-1])
+    branches = list(head["branches"])
+    branches[1] = jax.tree.map(lambda g: g * flag, branches[1])
+    head["branches"] = tuple(branches)
+    layers[-1] = head
+    return dict(grads, layers=tuple(layers))

@@ -40,7 +40,11 @@ from whvi_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
-from whvi_tpu.train.optim import decayed_adam, mask_likelihood_grads
+from whvi_tpu.train.optim import (
+    decayed_adam,
+    mask_likelihood_grads,
+    mask_noise_branch_grads,
+)
 
 __all__ = ["TrainState", "TrainConfig", "Trainer"]
 
@@ -77,6 +81,12 @@ class TrainConfig:
     # has shaped the mean function — observed on the toy problems with the
     # reference's own 0.01-scale S1/S2 init.
     kl_warmup_steps: int = 0
+    # Freeze the heteroscedastic noise branch (last layer's second
+    # Parallel branch) for the first N batch steps — the mean-first
+    # curriculum that phase 1 gives homoscedastic models but cannot give
+    # a network-emitted sigma(x) (see optim.mask_noise_branch_grads).
+    # 0 disables; ignored unless the net actually has a split head.
+    noise_freeze_steps: int = 0
 
 
 class Trainer:
@@ -110,6 +120,18 @@ class Trainer:
         self.net = net
         self.config = config
         self.mesh = mesh
+        # static: the noise-branch freeze only engages when the net
+        # actually has a heteroscedastic split head (Parallel last layer
+        # + a likelihood that splits [mean, raw_sigma])
+        self._noise_freeze_steps = (
+            config.noise_freeze_steps
+            if (
+                config.noise_freeze_steps > 0
+                and hasattr(net.likelihood, "split")
+                and hasattr(net.layers[-1], "branches")
+            )
+            else 0
+        )
         self.tx = tx if tx is not None else decayed_adam(
             config.lr0, config.gamma, config.p
         )
@@ -216,6 +238,11 @@ class Trainer:
             weights=weights,
         )
         grads = mask_likelihood_grads(grads, train_likelihood)
+        if self._noise_freeze_steps:
+            grads = mask_noise_branch_grads(
+                grads,
+                (state.step >= self._noise_freeze_steps).astype(jnp.float32),
+            )
         updates, opt_state = self.tx.update(
             grads, state.opt_state, state.params
         )
