@@ -92,7 +92,11 @@ def config3_deep_hetero(args):
         train_samples=1,
         eval_samples=64,
     )
-    epochs2 = args.epochs2 or (500 if args.quick else 5000)
+    epochs2 = (
+        args.epochs2
+        if args.epochs2 is not None
+        else (500 if args.quick else 5000)
+    )
     cfg = TrainConfig(
         epochs1=100,
         epochs2=epochs2,

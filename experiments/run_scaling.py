@@ -222,7 +222,7 @@ def main():
         # dispatch/fetch latency.
         def run(k, state):
             t0 = time.perf_counter()
-            state, metrics = step.scan(state, xb, yb, args.batch, k)
+            state, metrics = step.scan(state, xb, yb, args.batch, 1.0, k)
             float(metrics["loss"])  # host sync
             return time.perf_counter() - t0, state
 

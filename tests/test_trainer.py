@@ -247,3 +247,13 @@ def test_s_init_auto():
     p = m.init(jax.random.PRNGKey(21))
     std = float(jnp.std(p["s1"]))
     assert 0.7 * 64**-0.5 < std < 1.3 * 64**-0.5
+
+
+def test_noise_freeze_requires_split_head():
+    # Misconfiguration must raise up front, not silently skip the
+    # curriculum (round-3 VERDICT weak #5 / advisor finding).
+    import pytest
+
+    net = _small_net()
+    with pytest.raises(ValueError, match="split head"):
+        Trainer(net, TrainConfig(noise_freeze_steps=5))

@@ -191,7 +191,16 @@ def evaluate_bayesian_regression(
         net, layers=tuple(_with_opts(l) for l in net.layers)
     )
     total = config.epochs1 + config.epochs2
-    steps_per_epoch = -(-(n - n_test) // config.batch_size)
+    # mirror the epoch runner's batch rounding: with a mesh, B is rounded
+    # up to the data-shard multiple, which can REDUCE the batch count —
+    # otherwise kl_warmup/noise-freeze fractions would cover more of
+    # training than configured (advisor round 3)
+    n_tr = n - n_test
+    B = min(config.batch_size, n_tr)
+    if mesh is not None:
+        d = mesh.shape["data"]
+        B = -(-B // d) * d
+    steps_per_epoch = -(-n_tr // B)
     tcfg = TrainConfig(
         batch_size=config.batch_size,
         epochs1=config.epochs1,

@@ -132,12 +132,17 @@ class HeteroscedasticGaussianLikelihood:
 
     The network emits ``2 * n_out`` features per point: ``[mean,
     raw_sigma]`` split on the last axis, ``sigma = softplus(raw_sigma +
-    shift) + sigma_min`` with ``shift = inv_softplus(sigma0)``. Since
+    shift) + sigma_min`` with ``shift = inv_softplus(sigma0 -
+    sigma_min)``. Since
     the WHVI head output is near 0 at init (0.01-scale weight means),
     the shift makes ``sigma0`` the *initial* noise scale — the same
     lever the homoscedastic likelihood exposes, which the tuned UCI
     recipes set to 0.1-0.3 on normalized targets. New capability over
     the reference (BASELINE.json UCI protein/kin8nm config).
+
+    Note the shift was introduced in round 3: earlier rounds used
+    ``sigma = softplus(raw) + sigma_min`` directly, i.e. the old
+    raw-head mapping is reproduced by ``sigma0 = softplus(0) ~= 0.693``.
     """
 
     sigma_min: float = 1e-4

@@ -120,18 +120,16 @@ class Trainer:
         self.net = net
         self.config = config
         self.mesh = mesh
-        # static: the noise-branch freeze only engages when the net
-        # actually has a heteroscedastic split head (Parallel last layer
-        # + a likelihood that splits [mean, raw_sigma])
-        self._noise_freeze_steps = (
-            config.noise_freeze_steps
-            if (
-                config.noise_freeze_steps > 0
-                and hasattr(net.likelihood, "split")
-                and hasattr(net.layers[-1], "branches")
-            )
-            else 0
-        )
+        # static: the noise-branch freeze requires a heteroscedastic
+        # split head — a Parallel last layer with exactly [mean, noise]
+        # branches plus a likelihood that splits [mean, raw_sigma].
+        # Anything else is a configuration error, not a silent no-op:
+        # a caller who set noise_freeze_steps expects the curriculum.
+        self._noise_freeze_steps = config.noise_freeze_steps
+        if config.noise_freeze_steps > 0:
+            from whvi_tpu.train.optim import validate_split_head
+
+            validate_split_head(net)
         self.tx = tx if tx is not None else decayed_adam(
             config.lr0, config.gamma, config.p
         )
