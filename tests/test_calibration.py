@@ -1,0 +1,108 @@
+"""Predictive-variance calibration (temperature scaling) tests."""
+
+import numpy as np
+import pytest
+
+from whvi_tpu.calibration import (
+    coverage,
+    fit_temperature,
+    reliability_table,
+    table_from_z,
+)
+from whvi_tpu.evaluation import ProtocolConfig, evaluate_bayesian_regression
+
+
+def test_fit_temperature_recovers_known_scale():
+    # Targets drawn with TRUE sd = 2 * predicted sd: the closed-form ML
+    # temperature must recover tau ~= 2 (and ~0.5 in the opposite case).
+    rng = np.random.RandomState(0)
+    n = 20000
+    mean = rng.randn(n)
+    sd = 0.5 + rng.rand(n)
+    y = mean + 2.0 * sd * rng.randn(n)
+    tau = fit_temperature(y, mean, sd)
+    assert abs(tau - 2.0) < 0.05
+    y_tight = mean + 0.5 * sd * rng.randn(n)
+    assert abs(fit_temperature(y_tight, mean, sd) - 0.5) < 0.02
+
+
+def test_tempered_coverage_hits_nominal():
+    rng = np.random.RandomState(1)
+    n = 20000
+    mean = np.zeros(n)
+    sd = np.ones(n)
+    y = 2.0 * rng.randn(n)  # model is 2x over-confident
+    raw = coverage(y, mean, sd, level=0.95)
+    assert raw < 0.75  # badly under-covering
+    tau = fit_temperature(y, mean, sd)
+    cal = coverage(y, mean, sd, level=0.95, tau=tau)
+    assert abs(cal - 0.95) < 0.01
+
+
+def test_reliability_table_calibrated_gaussian():
+    rng = np.random.RandomState(2)
+    z = rng.randn(50000)
+    for row in table_from_z(z):
+        assert abs(row["empirical"] - row["nominal"]) < 0.01
+    # reliability_table == table_from_z on the same z-scores
+    tab = reliability_table(z, np.zeros_like(z), np.ones_like(z))
+    for a, b in zip(tab, table_from_z(z)):
+        assert a["nominal"] == b["nominal"]
+        assert abs(a["empirical"] - b["empirical"]) < 1e-12
+
+
+def _data(n=120, d=4, seed=0):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, d).astype(np.float32)
+    y = (X[:, :1] + 0.3 * rng.randn(n, 1)).astype(np.float32)
+    return X, y
+
+
+@pytest.mark.parametrize("vmapped", [True, False])
+def test_protocol_calibration_outputs(vmapped):
+    X, y = _data()
+    cfg = ProtocolConfig(
+        n_splits=2,
+        epochs1=0,
+        epochs2=20,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        calibrate=True,
+        calib_frac=0.15,
+        vmap_splits=vmapped,
+    )
+    out = evaluate_bayesian_regression(X, y, cfg)
+    assert np.isfinite(out["temperature_mean"])
+    assert 0.0 <= out["coverage95_cal_mean"] <= 1.0
+    assert len(out["reliability_raw"]) == 10
+    assert len(out["reliability_cal"]) == 10
+    for r in out["splits"]:
+        assert "temperature" in r and "coverage95_cal" in r
+
+
+def test_protocol_calibration_vmapped_matches_sequential():
+    X, y = _data()
+    base = dict(
+        n_splits=2,
+        epochs1=0,
+        epochs2=15,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        calibrate=True,
+        calib_frac=0.15,
+    )
+    out_seq = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=False)
+    )
+    out_vm = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=True)
+    )
+    for a, b in zip(out_seq["splits"], out_vm["splits"]):
+        np.testing.assert_allclose(
+            a["temperature"], b["temperature"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            a["coverage95_cal"], b["coverage95_cal"], rtol=1e-6
+        )

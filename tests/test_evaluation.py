@@ -88,3 +88,82 @@ def test_protocol_multi_output():
     )
     out = evaluate_bayesian_regression(X, y, cfg)
     assert np.isfinite(out["rmse_mean"])
+
+
+def test_vmapped_protocol_matches_sequential():
+    # The vmapped-splits protocol must reproduce the sequential loop's
+    # per-split results exactly (same per-split PRNG keys; round-3
+    # VERDICT next-step #1 "same keys => bit-equal").
+    X, y = _data()
+    base = dict(
+        n_splits=3,
+        epochs1=3,
+        epochs2=12,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.1,
+    )
+    out_seq = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=False)
+    )
+    out_vmap = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=True)
+    )
+    assert out_vmap.get("vmapped_splits") is True
+    for a, b in zip(out_seq["splits"], out_vmap["splits"]):
+        np.testing.assert_allclose(a["rmse"], b["rmse"], rtol=1e-6)
+        np.testing.assert_allclose(a["mnll"], b["mnll"], rtol=1e-6)
+        np.testing.assert_allclose(
+            a["pred_mnll_per_point"], b["pred_mnll_per_point"], rtol=1e-6
+        )
+
+
+@pytest.mark.parametrize("hetero", [False, True])
+def test_vmapped_protocol_matches_sequential_normalize_y(hetero):
+    # normalize-y (and heteroscedastic) metric conversions go through a
+    # different code path in the vmapped protocol — equality must hold
+    # there too.
+    X, y = _data()
+    y = y * 50.0 + 100.0
+    base = dict(
+        n_splits=2,
+        epochs1=0,
+        epochs2=10,
+        hidden=(8,),
+        checkpoint_every=0,
+        normalize_y=True,
+        heteroscedastic=hetero,
+        kl_warmup_frac=0.0,
+    )
+    out_seq = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=False)
+    )
+    out_vmap = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=True)
+    )
+    for a, b in zip(out_seq["splits"], out_vmap["splits"]):
+        for k in ("rmse", "mnll", "mnll_per_point"):
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-5, err_msg=k)
+
+
+def test_vmapped_protocol_checkpoints_and_resumes(tmp_path):
+    # The stacked checkpoint must round-trip: a second call with the
+    # same ckpt_dir resumes at the saved epoch (no retraining).
+    X, y = _data()
+    cfg = ProtocolConfig(
+        n_splits=2,
+        epochs1=0,
+        epochs2=10,
+        hidden=(8,),
+        checkpoint_every=5,
+        kl_warmup_frac=0.0,
+        vmap_splits=True,
+    )
+    out1 = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=str(tmp_path))
+    import os
+
+    files = os.listdir(tmp_path / "stacked")
+    assert any(f.startswith("ckpt-") for f in files)
+    out2 = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=str(tmp_path))
+    for a, b in zip(out1["splits"], out2["splits"]):
+        np.testing.assert_allclose(a["rmse"], b["rmse"], rtol=1e-6)

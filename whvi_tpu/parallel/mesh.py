@@ -241,7 +241,7 @@ def make_sharded_train_step(
     """Jitted SPMD train step over the mesh.
 
     Returns ``(step_fn, shard_state, shard_batch)``:
-      - ``step_fn(state, x, y, n, train_likelihood=1.0) -> (state,
+      - ``step_fn(state, x, y, n, train_likelihood) -> (state,
         metrics)`` — donate-safe, compiled with replicated params and
         data-sharded batches. ``train_likelihood`` is the traced 0/1
         phase flag (0 = phase 1, likelihood sigma frozen) — the raw SPMD
@@ -264,7 +264,11 @@ def make_sharded_train_step(
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
 
-    def step_fn(state: TrainState, x, y, n, train_likelihood=1.0):
+    # train_likelihood is REQUIRED (no default): jit's in_shardings are
+    # matched positionally against the args actually passed, so an
+    # omitted arg would produce an opaque pjit length error instead of
+    # a missing-argument TypeError.
+    def step_fn(state: TrainState, x, y, n, train_likelihood):
         key, sub = jax.random.split(state.key)
         if kl_warmup_steps > 0:
             kl_scale = jnp.minimum(
