@@ -184,6 +184,56 @@ def test_whvi_mul_pallas_backend_dispatch():
             np.asarray(ys[:, 0]), np.asarray(ref), rtol=1e-5, atol=1e-6
         )
     finally:
-        set_whvi_mul_backend("xla")
+        set_whvi_mul_backend("auto")
     with __import__("pytest").raises(ValueError):
         set_whvi_mul_backend("cuda")
+
+
+def test_auto_dispatch_table():
+    # "auto" backend: the pinned measured-win dispatch rule — Pallas
+    # only for direct (non-vmapped) products at the D's that beat XLA
+    # on the v5e (D=4096 at 1.09x; 2048/8192/16384 lose —
+    # sweeps/r3_tpu_queue1.log). Never under vmap (round-2 e2e: XLA
+    # 7.7x faster on the vmapped train step), never off-TPU.
+    from whvi_tpu.ops.whvi_op import _auto_uses_pallas
+
+    assert _auto_uses_pallas(4096, batched=False, on_tpu=True)
+    for D in (64, 1024, 2048, 8192, 16384, 32768):
+        assert not _auto_uses_pallas(D, batched=False, on_tpu=True)
+    assert not _auto_uses_pallas(4096, batched=True, on_tpu=True)
+    assert not _auto_uses_pallas(4096, batched=False, on_tpu=False)
+
+
+def test_auto_backend_matches_xla_numerics():
+    # On the CPU test backend "auto" must be the XLA path bit-for-bit
+    # (no regressions off the niche), including under vmap, and the
+    # vmap-detection helper must see BatchTracers.
+    import numpy as np
+
+    from whvi_tpu.ops import whvi_mul
+    from whvi_tpu.ops.whvi_op import _any_batched, set_whvi_mul_backend
+
+    D = 64
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    s1, u, s2 = (jax.random.normal(k, (D,)) * 0.1 for k in ks[:3])
+    x = jax.random.normal(ks[3], (4, D))
+    set_whvi_mul_backend("xla")
+    try:
+        ref = jax.jit(whvi_mul)(s1, u, s2, x)
+    finally:
+        set_whvi_mul_backend("auto")
+    got = jax.jit(whvi_mul)(s1, u, s2, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    seen = []
+
+    def probe(xi):
+        seen.append(_any_batched(xi))
+        return whvi_mul(s1, u, s2, xi)
+
+    got_v = jax.vmap(probe)(x[None])
+    np.testing.assert_allclose(
+        np.asarray(got_v[0]), np.asarray(ref), rtol=1e-6
+    )
+    assert seen == [True]
+    assert not _any_batched(x)

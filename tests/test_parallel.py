@@ -335,7 +335,7 @@ def test_sharded_pallas_backend_matches_single_device():
             )[0]
         )(params)
     finally:
-        set_whvi_mul_backend("xla")
+        set_whvi_mul_backend("auto")
     np.testing.assert_allclose(float(val_s), float(val_r), rtol=2e-5)
     for a, b in zip(jax.tree.leaves(g_sharded), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(

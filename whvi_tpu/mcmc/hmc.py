@@ -208,44 +208,34 @@ def hmc_sample_chains(
     n_chains: int = 4,
     jitter: float = 0.1,
     inits=None,
+    mesh=None,
 ):
-    """Run ``n_chains`` independent HMC chains via vmap over keys.
+    """Run ``n_chains`` independent HMC chains.
 
     Chain c starts at ``init_position + jitter * N(0, I)`` (over-dispersed
     starts are what make split-R-hat informative). Returns ``(samples,
     stats)`` with a leading ``(n_chains,)`` axis on every leaf — the
     shape :mod:`whvi_tpu.mcmc.diagnostics` consumes directly.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shard the chain axis over
+    all mesh axes (same chain set as the vmapped path, partitioned; see
+    :mod:`whvi_tpu.mcmc.chains`). ``inits``: explicit per-chain starts
+    (pytree with leading n_chains axis), e.g. draws from a trained q for
+    mode-local validation of a multimodal BNN posterior.
     """
-    k_init, k_run = jax.random.split(key)
-    if inits is not None:
-        # explicit per-chain starts (pytree with leading n_chains axis),
-        # e.g. draws from a trained q for mode-local validation of a
-        # multimodal BNN posterior
-        run_keys = jax.random.split(k_run, n_chains)
-        return jax.vmap(
-            lambda q0, k: hmc_sample(log_prob_fn, q0, k, config)
-        )(inits, run_keys)
-    leaves, treedef = jax.tree.flatten(init_position)
-    init_keys = jax.random.split(k_init, n_chains * len(leaves)).reshape(
-        n_chains, len(leaves), 2
-    )
+    from whvi_tpu.mcmc.chains import run_chains
 
-    def _jittered(c):
-        return jax.tree.unflatten(
-            treedef,
-            [
-                l + jitter * jax.random.normal(init_keys[c, i], l.shape, l.dtype)
-                for i, l in enumerate(leaves)
-            ],
-        )
-
-    inits = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[_jittered(c) for c in range(n_chains)]
+    return run_chains(
+        hmc_sample,
+        log_prob_fn,
+        init_position,
+        key,
+        config,
+        n_chains,
+        jitter,
+        inits,
+        mesh,
     )
-    run_keys = jax.random.split(k_run, n_chains)
-    return jax.vmap(
-        lambda q0, k: hmc_sample(log_prob_fn, q0, k, config)
-    )(inits, run_keys)
 
 
 def make_whvi_g_log_posterior(net, params: dict, X, y):

@@ -39,21 +39,54 @@ __all__ = [
     "set_whvi_mul_backend",
 ]
 
-# "xla" (default): Kronecker-factor MXU matmuls, XLA-fused — fastest on
-# the measured v5e (the Pallas pipeline is DMA-bound there, see
-# docs/RESULTS.md round 2). "pallas": route eligible square products
-# through the fused Pallas kernel (opt-in; correct under vmap/grad, but
-# note vmapped pallas_call compiles very slowly over remote backends).
+# "auto" (default): per-shape dispatch — the fused Pallas kernel exactly
+# where it measured >= XLA on the v5e (direct, non-vmapped single
+# products at the D's in _PALLAS_AUTO_SHAPES; 1.09x at D=4096,
+# sweeps/r3_tpu_queue1.log), XLA everywhere else. "xla": always the
+# Kronecker-factor MXU matmuls (fastest in every vmapped/e2e
+# configuration measured — the Pallas pipeline is DMA-bound on this
+# backend, docs/RESULTS.md rounds 2-3). "pallas": route every eligible
+# square product through the fused kernel (benchmarks; note vmapped
+# pallas_call compiles very slowly over remote backends).
 # The choice is read at TRACE time: set it before building jitted fns.
-_BACKEND = os.environ.get("WHVI_MUL_BACKEND", "xla")
+_BACKEND = os.environ.get("WHVI_MUL_BACKEND", "auto")
+
+# The measured-win dispatch table for "auto": transform sizes where the
+# fused Pallas kernel beat XLA on a direct (non-vmapped) product.
+# Measured v5e, B=512: D=2048 0.92x, D=4096 1.09x, D=8192 0.55x,
+# D=16384 0.56x (sweeps/r3_tpu_queue1.log) -> only 4096 qualifies.
+_PALLAS_AUTO_SHAPES = frozenset({4096})
 
 
 def set_whvi_mul_backend(name: str) -> None:
-    """Select the whvi_mul compute path: "xla" or "pallas"."""
+    """Select the whvi_mul compute path: "auto", "xla" or "pallas"."""
     global _BACKEND
-    if name not in ("xla", "pallas"):
-        raise ValueError(f"backend must be 'xla' or 'pallas', got {name!r}")
+    if name not in ("auto", "xla", "pallas"):
+        raise ValueError(
+            f"backend must be 'auto', 'xla' or 'pallas', got {name!r}"
+        )
     _BACKEND = name
+
+
+def _any_batched(*arrays) -> bool:
+    """True if any operand is a vmap BatchTracer at trace time.
+
+    The Pallas niche was measured on DIRECT products; under vmap the
+    batched pallas_call is DMA-bound and compiles pathologically slowly
+    over remote backends (round-2 e2e: XLA 7.7x faster at D=4096 on the
+    full vmapped train step), so "auto" must never fire inside vmap.
+    """
+    try:  # public alias removed in newer jax
+        from jax._src.interpreters.batching import BatchTracer
+    except ImportError:  # pragma: no cover - older jax
+        from jax.interpreters.batching import BatchTracer
+
+    return any(isinstance(a, BatchTracer) for a in arrays)
+
+
+def _auto_uses_pallas(D: int, batched: bool, on_tpu: bool) -> bool:
+    """The "auto" dispatch rule (unit-tested as the pinned table)."""
+    return on_tpu and not batched and D in _PALLAS_AUTO_SHAPES
 
 
 def whvi_mul(
@@ -71,16 +104,28 @@ def whvi_mul(
       reference's ``w_bar``-based products (src/weights.py:66-93) but with
       the paper-correct two-sided transform.
 
-    With the "pallas" backend selected (``set_whvi_mul_backend`` /
-    ``WHVI_MUL_BACKEND``), eligible calls — plain ``(D,)`` diagonals
-    (the square-matrix path), supported D — run through the fused
-    Pallas kernel; everything else falls back to the XLA path.
+    Backend selection (``set_whvi_mul_backend`` / ``WHVI_MUL_BACKEND``):
+    "auto" (default) routes through the fused Pallas kernel exactly on
+    the measured-win shapes (direct non-vmapped products, D in
+    ``_PALLAS_AUTO_SHAPES``, TPU backend) and XLA everywhere else;
+    "pallas" routes every eligible square product (plain ``(D,)``
+    diagonals, supported D) through the kernel; "xla" never dispatches
+    to Pallas.
     """
-    if _BACKEND == "pallas" and jnp.ndim(s1) == 1 and jnp.ndim(u) == 1:
+    if _BACKEND != "xla" and jnp.ndim(s1) == 1 and jnp.ndim(u) == 1:
         from whvi_tpu.ops.fwht_pallas import pallas_supported, whvi_mul_pallas
 
         D = x.shape[-1]
-        if jnp.ndim(s2) == 1 and x.ndim >= 1 and pallas_supported(D):
+        eligible = (
+            jnp.ndim(s2) == 1 and x.ndim >= 1 and pallas_supported(D)
+        )
+        if eligible and _BACKEND == "auto":
+            eligible = _auto_uses_pallas(
+                D,
+                batched=_any_batched(s1, u, s2, x),
+                on_tpu=jax.default_backend() == "tpu",
+            )
+        if eligible:
             interpret = jax.default_backend() != "tpu"
             batch = x.shape[:-1]
             y = whvi_mul_pallas(
