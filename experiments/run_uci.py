@@ -79,6 +79,12 @@ def main():
     ap.add_argument("--train-samples", type=int, default=1)
     ap.add_argument("--per-example-noise", action="store_true")
     ap.add_argument(
+        "--column-lrt",
+        action="store_true",
+        help="per-example LRT on column-shaped heads (variance-reduced; "
+        "needs --per-example-noise; see weights.ColumnMatrix.apply)",
+    )
+    ap.add_argument(
         "--rect-mode",
         choices=["stack", "pad"],
         default="stack",
@@ -137,6 +143,7 @@ def main():
         args.rect_mode = "stack"
         args.train_samples = 1
         args.per_example_noise = False
+        args.column_lrt = False
         args.bias = False
         args.normalize_y = False
         args.heteroscedastic = False
@@ -157,6 +164,7 @@ def main():
         hidden=tuple(args.hidden),
         train_samples=args.train_samples,
         per_example_noise=args.per_example_noise,
+        column_lrt=args.column_lrt,
         rect_mode=args.rect_mode,
         bias=args.bias,
         ignore_kl=args.ignore_kl,

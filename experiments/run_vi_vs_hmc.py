@@ -412,20 +412,34 @@ def mixed_lambda_tier(
     out = {"source": source, "n_train": n_train,
            "prior_scale_ratio": float(np.sqrt(3.0 / 1e-5))}
     for name, mass in (("identity_mass", False), ("adapted_mass", True)):
-        samples, stats = nuts_sample_chains(
-            logp,
-            init,
-            jax.random.PRNGKey(seed + 7),
-            NUTSConfig(
-                n_samples=n_draws,
-                n_warmup=n_draws,
-                max_tree_depth=tree_depth,
-                target_accept=0.9,
-                mass_adapt=mass,
-            ),
-            n_chains=n_chains,
-            inits=inits,
-        )
+        import time as _time
+
+        def _run():
+            s, st = nuts_sample_chains(
+                logp,
+                init,
+                jax.random.PRNGKey(seed + 7),
+                NUTSConfig(
+                    n_samples=n_draws,
+                    n_warmup=n_draws,
+                    max_tree_depth=tree_depth,
+                    target_accept=0.9,
+                    mass_adapt=mass,
+                ),
+                n_chains=n_chains,
+                inits=inits,
+            )
+            # value fetch = the only reliable sync on this remote backend
+            float(jnp.sum(s[bayes_i[0]]))
+            return s, st
+
+        t0 = _time.time()
+        samples, stats = _run()  # includes compile
+        wall_cold = _time.time() - t0
+        t0 = _time.time()
+        samples, stats = _run()  # compiled: honest sampling wall
+        wall = _time.time() - t0
+        draws_total = n_chains * 2 * n_draws  # warmup + kept
         per_layer = {}
         for i in bayes_i:
             gs = samples[i]
@@ -443,6 +457,10 @@ def mixed_lambda_tier(
             ),
             "divergences": int(jnp.sum(stats["divergences"])),
             "step_size_mean": float(jnp.mean(stats["step_size"])),
+            "wall_s": round(wall, 2),
+            "wall_cold_s": round(wall_cold, 2),
+            "draws_per_s": round(draws_total / max(wall, 1e-9), 1),
+            "backend": jax.default_backend(),
         }
         if mass:
             # adapted inverse-mass scale per layer: should track the

@@ -242,3 +242,94 @@ def test_per_example_lrt_noise():
     xs = jnp.tile(jax.random.normal(jax.random.PRNGKey(34), (1, 5)), (B, 1))
     y_per_s = sm.apply(ps, xs, key, lrt=True, per_example_noise=True)
     assert np.abs(np.asarray(y_per_s[0]) - np.asarray(y_per_s[1])).max() > 1e-5
+
+
+def test_column_lrt_matches_explicit_marginals():
+    # The column is linear in g, so the per-example LRT column must
+    # (a) reproduce column_given_g exactly for batched g, and (b) give
+    # independent per-row columns while the explicit path shares one
+    # draw across the batch (round-4 opt-in, weights.ColumnMatrix).
+    from whvi_tpu.models.weights import ColumnMatrix
+
+    D = 16
+    m_exp = ColumnMatrix(D, lambda_=1.0, transposed=True)
+    m_lrt = ColumnMatrix(D, lambda_=1.0, transposed=True, use_lrt=True)
+    params = m_exp.init(jax.random.PRNGKey(0))
+    # batched column_given_g == per-row loop
+    g = jax.random.normal(jax.random.PRNGKey(1), (5, D))
+    batched = m_exp.column_given_g(params, g)
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(batched[i]),
+            np.asarray(m_exp.column_given_g(params, g[i])),
+            rtol=1e-6,
+            atol=1e-10,
+        )
+    x = jax.random.normal(jax.random.PRNGKey(2), (6, D))
+    key = jax.random.PRNGKey(3)
+    y_exp = m_exp.apply(params, x, key, lrt=True, per_example_noise=True)
+    y_lrt = m_lrt.apply(params, x, key, lrt=True, per_example_noise=True)
+    assert y_exp.shape == y_lrt.shape == (6, 1)
+    # without the opt-in the flags are ignored (reference-faithful)
+    y_exp2 = m_exp.apply(params, x, key, lrt=False)
+    np.testing.assert_allclose(np.asarray(y_exp), np.asarray(y_exp2))
+    # sample-mean of both estimators converges to the same mean output
+    keys = jax.random.split(jax.random.PRNGKey(4), 4000)
+    mean_exp = np.mean(
+        np.asarray(
+            jax.vmap(lambda k: m_exp.apply(params, x, k))(keys)
+        ),
+        axis=0,
+    )
+    mean_lrt = np.mean(
+        np.asarray(
+            jax.vmap(
+                lambda k: m_lrt.apply(
+                    params, x, k, lrt=True, per_example_noise=True
+                )
+            )(keys)
+        ),
+        axis=0,
+    )
+    np.testing.assert_allclose(mean_exp, mean_lrt, atol=5e-3)
+
+
+def test_column_lrt_variance_reduced_loss():
+    # With per-example noise the batch-mean output variance across keys
+    # must shrink (the point of the estimator).
+    from whvi_tpu.models.weights import ColumnMatrix
+
+    D = 64
+    m_exp = ColumnMatrix(D, lambda_=1.0, transposed=True)
+    m_lrt = ColumnMatrix(D, lambda_=1.0, transposed=True, use_lrt=True)
+    params = m_exp.init(jax.random.PRNGKey(0))
+    params = dict(params, g_rho=jnp.zeros((D,)))  # sigma ~ 0.69: real noise
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, D))
+    keys = jax.random.split(jax.random.PRNGKey(5), 512)
+    # batch-mean of a NONLINEAR per-row statistic (squared output — the
+    # shape of a log-likelihood term): with one shared draw it does not
+    # average out; with independent per-row draws it concentrates ~B x.
+    out_exp = jax.vmap(
+        lambda k: jnp.mean(jnp.square(m_exp.apply(params, x, k)))
+    )(keys)
+    out_lrt = jax.vmap(
+        lambda k: jnp.mean(
+            jnp.square(
+                m_lrt.apply(params, x, k, lrt=True, per_example_noise=True)
+            )
+        )
+    )(keys)
+    # on random inputs the rows are only weakly correlated even with a
+    # shared draw, so the measured gain here is ~2x (it grows with D:
+    # 5.6x at D=1024, benchmarks/column_lrt_check.py); the structural
+    # check is the cross-row decorrelation
+    assert float(jnp.var(out_lrt)) < 0.7 * float(jnp.var(out_exp))
+    ye = jax.vmap(lambda k: m_exp.apply(params, x, k))(keys)[:, :, 0]
+    yl = jax.vmap(
+        lambda k: m_lrt.apply(
+            params, x, k, lrt=True, per_example_noise=True
+        )
+    )(keys)[:, :, 0]
+    ce = np.abs(np.corrcoef(np.asarray(ye).T) - np.eye(32)).mean()
+    cl = np.abs(np.corrcoef(np.asarray(yl).T) - np.eye(32)).mean()
+    assert cl < 0.3 * ce  # independent per-row draws decorrelate rows

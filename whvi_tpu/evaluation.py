@@ -80,6 +80,10 @@ class ProtocolConfig:
     normalize_y: bool = False
     # independent LRT noise per batch element (variance-reduced)
     per_example_noise: bool = False
+    # opt-in per-example LRT on column-shaped layers (n_out==1 heads):
+    # variance-reduced vs the reference-faithful explicit column sample
+    # (needs per_example_noise; see weights.ColumnMatrix.apply)
+    column_lrt: bool = False
     # non-square layer construction: "stack" (reference semantics) or
     # "pad" (one padded square block, full mixing — higher capacity for
     # very rectangular first/last layers; weights.PaddedSquareMatrix)
@@ -192,11 +196,13 @@ def evaluate_bayesian_regression(
     # Parallel split-head branches)
     def _with_opts(l):
         if hasattr(l, "s_init"):
-            return dataclasses.replace(
-                l,
+            kw = dict(
                 s_init=config.s_init,
                 per_example_noise=config.per_example_noise,
             )
+            if hasattr(l, "column_lrt"):
+                kw["column_lrt"] = config.column_lrt
+            return dataclasses.replace(l, **kw)
         if hasattr(l, "branches"):
             return dataclasses.replace(
                 l, branches=tuple(_with_opts(b) for b in l.branches)

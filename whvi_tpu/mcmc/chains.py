@@ -82,8 +82,11 @@ def run_chains(
             lambda q, kk: sample_fn(log_prob_fn, q, kk, config)
         )(q0, k)
 
+    # jit the whole chain program: without it, vmap's batching
+    # interpreter dispatches every sampler primitive eagerly — harmless
+    # on CPU, catastrophic on remote TPU backends (~0.5-1 s per op).
     if mesh is None:
-        return local(inits, run_keys)
+        return jax.jit(local)(inits, run_keys)
 
     from jax.sharding import PartitionSpec as P
 
@@ -108,4 +111,4 @@ def run_chains(
         out_specs=spec,
         check_vma=False,
     )
-    return sharded(inits, run_keys)
+    return jax.jit(sharded)(inits, run_keys)

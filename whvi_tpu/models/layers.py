@@ -70,6 +70,11 @@ class WHVILinear:
     # square block with full mixing (higher capacity for very
     # rectangular shapes, see weights.PaddedSquareMatrix)
     rect_mode: str = "stack"
+    # opt-in per-example LRT for column-shaped layers (n_in==1 or
+    # n_out==1): variance-reduced estimator vs the reference-faithful
+    # explicit column sample (weights.ColumnMatrix.apply; requires
+    # per_example_noise to engage)
+    column_lrt: bool = False
 
     def __post_init__(self):
         if self.rect_mode not in ("stack", "pad"):
@@ -80,10 +85,19 @@ class WHVILinear:
     @property
     def matrix(self):
         if self.n_in == 1:
-            return ColumnMatrix(self.n_out, self.lambda_, s_init=self.s_init)
+            return ColumnMatrix(
+                self.n_out,
+                self.lambda_,
+                s_init=self.s_init,
+                use_lrt=self.column_lrt,
+            )
         if self.n_out == 1:
             return ColumnMatrix(
-                self.n_in, self.lambda_, transposed=True, s_init=self.s_init
+                self.n_in,
+                self.lambda_,
+                transposed=True,
+                s_init=self.s_init,
+                use_lrt=self.column_lrt,
             )
         if self.n_in == self.n_out and is_pow_of_2(self.n_in):
             return SquarePow2Matrix(self.n_in, self.lambda_, self.s_init)

@@ -296,6 +296,9 @@ class ColumnMatrix:
     lambda_: float = 1e-5
     transposed: bool = False
     s_init: float | str = 0.01
+    # opt-in per-example LRT (see apply); False = reference-faithful
+    # explicit sample, keeping published results reproducible
+    use_lrt: bool = False
 
     @property
     def D_adj(self) -> int:
@@ -320,17 +323,20 @@ class ColumnMatrix:
         return self._block.kl(params)
 
     def column_given_g(self, params: dict, g: jax.Array) -> jax.Array:
-        """Column from an explicit ``g`` (MCMC path)."""
+        """Column from an explicit ``g`` (MCMC path / LRT building
+        block). ``g`` may carry leading batch axes ``(..., D_adj)`` —
+        the column broadcasts to ``(..., n)`` (the per-example LRT path
+        below feeds a per-row noise batch through here)."""
         D = self.D_adj
         n_rows = -(-self.n // D)
         # only the surviving rows of H — never the O(D^2) dense matrix
         H_rows = build_H_rows(D, n_rows, g.dtype)
         rows = (
             params["s1"][:n_rows, None]
-            * fwht(H_rows * g[None, :])
-            * params["s2"][None, :]
+            * fwht(H_rows * g[..., None, :])
+            * params["s2"]
         )
-        return rows.reshape(-1)[: self.n]
+        return rows.reshape(g.shape[:-1] + (n_rows * D,))[..., : self.n]
 
     def apply_given_g(
         self, params: dict, x: jax.Array, g: jax.Array
@@ -357,8 +363,31 @@ class ColumnMatrix:
         lrt: bool = False,
         per_example_noise: bool = False,
     ) -> jax.Array:
-        del lrt, per_example_noise  # column path: explicit sample (ref :250)
-        col = self.sample_column(params, key)
+        """The reference always draws one explicit column sample here
+        (no LRT, its weights.py:250-251) and so does our default. But
+        the column is LINEAR in ``g`` — ``col(mu + sigma*eps) = col(mu)
+        + col(sigma*eps)`` — so with per-example noise the LRT form is
+        available for free: an independent eps per batch row makes the
+        column layer a variance-reduced estimator instead of the
+        highest-variance one in the net (one shared weight draw per
+        batch; round-3 VERDICT weak #6 — the trade-off is measured in
+        benchmarks/column_lrt_check.py). Engaged only when the matrix
+        opts in (``use_lrt``) AND the call passes both ``lrt`` and
+        ``per_example_noise``: with shared batch noise the LRT and
+        explicit paths are identical in distribution, and the published
+        tuned-recipe results were measured on the explicit path — an
+        implicit switch would silently change them.
+        """
+        if self.use_lrt and lrt and per_example_noise:
+            sigma = _g_sigma(params["g_rho"])
+            eps = jax.random.normal(
+                key, x.shape[:-1] + (self.D_adj,), x.dtype
+            )
+            col = self.column_given_g(
+                params, params["g_mu"] + sigma * eps
+            )  # (..., n): an independent column per batch row
+        else:
+            col = self.sample_column(params, key)
         if self.transposed:
             # (..., n) @ (n, 1) -> (..., 1)
             return jnp.sum(x * col, axis=-1, keepdims=True)
