@@ -58,6 +58,11 @@ class ProtocolConfig:
     train_samples: int = 1
     eval_samples: int = 64
     checkpoint_every: int = 5000
+    # scan-chunk size (epochs per device dispatch). The protocol default
+    # is larger than TrainConfig's 250: on remote backends every chunk
+    # boundary costs a dispatch + metric fetch (~1.5 s under load —
+    # round-4 measurement tripled the full-protocol wall at 250)
+    epochs_per_call: int = 2500
     s_init: float | str = "auto"
     kl_warmup_frac: float = 0.2  # fraction of total steps; 0 disables
     scale_reference_exact: bool = False  # standardize on full X like ref
@@ -227,6 +232,7 @@ def evaluate_bayesian_regression(
         batch_size=config.batch_size,
         epochs1=config.epochs1,
         epochs2=config.epochs2,
+        epochs_per_call=config.epochs_per_call,
         checkpoint_every=config.checkpoint_every,
         ignore_kl=config.ignore_kl,
         kl_warmup_steps=int(

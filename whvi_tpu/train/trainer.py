@@ -33,6 +33,7 @@ from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from whvi_tpu.train.checkpoint import (
@@ -409,13 +410,23 @@ class Trainer:
                 n_train,
             )
             epoch += chunk
+            # ONE host fetch for all metrics: each separate float() is a
+            # full tunnel roundtrip on remote backends (~0.5-1.5 s under
+            # load), and the chunk loop runs hundreds of times on a full
+            # protocol (round-4 measurement: 3 fetches/chunk x 202
+            # chunks tripled the vmapped protocol wall)
+            fetched = jax.device_get(
+                {k: metrics[k] for k in ("loss", "mnll", "kl")}
+            )
             entry = {
                 "epoch": epoch,
                 "phase": 1 if in_phase1 else 2,
-                # replica means when vmapped (scalars otherwise)
-                "loss": float(jnp.mean(metrics["loss"])),
-                "mnll": float(jnp.mean(metrics["mnll"])),
-                "kl": float(jnp.mean(metrics["kl"])),
+                # replica means when vmapped (scalars otherwise); the
+                # mean runs on host — an eager jnp.mean would be one
+                # more remote dispatch per chunk
+                "loss": float(np.mean(fetched["loss"])),
+                "mnll": float(np.mean(fetched["mnll"])),
+                "kl": float(np.mean(fetched["kl"])),
                 # epochs completed by THIS call over its own wall time
                 # (after resume, start_epoch epochs predate t0)
                 "epochs_per_s": (epoch - start_epoch)
