@@ -7,4 +7,4 @@ train step, mesh sharding for scale. See SURVEY.md for the reference
 structural analysis this build follows.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.4.0"
