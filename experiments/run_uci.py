@@ -121,6 +121,13 @@ def main():
     )
     ap.add_argument("--calib-frac", type=float, default=0.1)
     ap.add_argument(
+        "--calib-mode",
+        choices=["quantile", "nll"],
+        default="quantile",
+        help="temperature fit: coverage-matched quantile (default) or "
+        "Gaussian-ML (density-oriented)",
+    )
+    ap.add_argument(
         "--sequential-splits",
         action="store_true",
         help="train splits in the legacy sequential loop instead of the "
@@ -171,6 +178,7 @@ def main():
         vmap_splits=False if args.sequential_splits else "auto",
         calibrate=args.calibrate,
         calib_frac=args.calib_frac,
+        calib_mode=args.calib_mode,
     )
     log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
     out = evaluate_bayesian_regression(

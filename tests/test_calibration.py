@@ -106,3 +106,44 @@ def test_protocol_calibration_vmapped_matches_sequential():
         np.testing.assert_allclose(
             a["coverage95_cal"], b["coverage95_cal"], rtol=1e-6
         )
+
+
+def test_quantile_temperature_targets_coverage():
+    # Quantile-matched tau must put coverage at the nominal level even
+    # when the predictive is non-Gaussian (heavy-tailed), where ML tau
+    # (z^2-mean) is pulled by the tails.
+    from whvi_tpu.calibration import fit_temperature_quantile
+
+    rng = np.random.RandomState(3)
+    n = 40000
+    mean = np.zeros(n)
+    sd = np.ones(n)
+    y = rng.standard_t(df=3, size=n)  # heavy tails
+    tau_q = fit_temperature_quantile(y, mean, sd, level=0.95)
+    cov_q = coverage(y, mean, sd, level=0.95, tau=tau_q)
+    assert abs(cov_q - 0.95) < 0.01
+    tau_ml = fit_temperature(y, mean, sd)
+    cov_ml = coverage(y, mean, sd, level=0.95, tau=tau_ml)
+    assert abs(cov_ml - 0.95) > abs(cov_q - 0.95)
+
+
+def test_protocol_calib_mode_flag():
+    X, y = _data()
+    base = dict(
+        n_splits=1,
+        epochs1=0,
+        epochs2=10,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        calibrate=True,
+        calib_frac=0.2,
+    )
+    out_q = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, calib_mode="quantile")
+    )
+    out_n = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, calib_mode="nll")
+    )
+    # different fit rules -> (generically) different temperatures
+    assert out_q["temperature_mean"] != out_n["temperature_mean"]

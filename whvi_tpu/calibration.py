@@ -27,6 +27,7 @@ import numpy as np
 
 __all__ = [
     "fit_temperature",
+    "fit_temperature_quantile",
     "coverage",
     "reliability_table",
     "table_from_z",
@@ -52,6 +53,27 @@ def fit_temperature(
     points and output dimensions of the calibration set."""
     z = _z(y, mean, sd)
     return float(np.sqrt(np.mean(np.square(z))))
+
+
+def fit_temperature_quantile(
+    y: np.ndarray,
+    mean: np.ndarray,
+    sd: np.ndarray,
+    level: float = 0.95,
+) -> float:
+    """Coverage-matched temperature: ``tau = q_level(|z|) / z_crit`` —
+    the smallest tau whose ``level`` central interval covers exactly a
+    ``level`` fraction of the calibration set. Unlike the ML tau (which
+    minimizes Gaussian NLL and lands badly when the predictive is
+    non-Gaussian or the calib set is small — measured on yacht: raw
+    coverage 0.984, ML tau 0.54 overshot to 0.871), this targets the
+    reported metric directly. Noisier on tiny calib sets (it is one
+    order statistic), but unbiased for the coverage it calibrates."""
+    from scipy.stats import norm
+
+    z = np.abs(_z(y, mean, sd)).reshape(-1)
+    zcrit = norm.ppf(0.5 + level / 2.0)
+    return float(np.quantile(z, level) / zcrit)
 
 
 def coverage(

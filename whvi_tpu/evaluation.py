@@ -115,6 +115,12 @@ class ProtocolConfig:
     # it (VERDICT missing #4); this is the knob.
     calibrate: bool = False
     calib_frac: float = 0.1
+    # "quantile" (default): coverage-matched tau (q95(|z_cal|)/1.96 —
+    # targets the reported coverage metric directly); "nll": closed-form
+    # Gaussian-ML tau (better density calibration, but lands badly on
+    # coverage when the predictive is non-Gaussian / calib set is tiny;
+    # measured on yacht: 0.984 raw -> 0.871 with ML tau)
+    calib_mode: str = "quantile"
     seed: int = 0
 
 
@@ -408,7 +414,8 @@ def evaluate_bayesian_regression(
             )
             m_t, s_t = moments_fn(state.params["likelihood"], y_hat_te)
             tau, cov_cal, z_te = _split_calibration(
-                d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t
+                d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t,
+                mode=config.calib_mode,
             )
             entry["temperature"] = tau
             entry["coverage95_cal"] = cov_cal
@@ -424,14 +431,17 @@ def evaluate_bayesian_regression(
     return out
 
 
-def _split_calibration(y_cal, m_c, s_c, y_te, m_t, s_t):
+def _split_calibration(y_cal, m_c, s_c, y_te, m_t, s_t, mode="quantile"):
     """Fit the temperature on the calibration moments and score the test
     set: returns ``(tau, tempered coverage95, raw test z-scores)``."""
     from whvi_tpu import calibration
 
-    tau = calibration.fit_temperature(
-        np.asarray(y_cal), np.asarray(m_c), np.asarray(s_c)
+    fit = (
+        calibration.fit_temperature_quantile
+        if mode == "quantile"
+        else calibration.fit_temperature
     )
+    tau = fit(np.asarray(y_cal), np.asarray(m_c), np.asarray(s_c))
     z = (
         np.asarray(y_te, np.float64) - np.asarray(m_t, np.float64)
     ) / np.maximum(np.asarray(s_t, np.float64), 1e-12)
@@ -578,7 +588,8 @@ def _run_vmapped_protocol(
         m_t, s_t = mom(state.params["likelihood"], y_hat_te)
         cal = [
             _split_calibration(
-                ys_cal_fit[s], m_c[s], s_c[s], ys_te_fit[s], m_t[s], s_t[s]
+                ys_cal_fit[s], m_c[s], s_c[s], ys_te_fit[s], m_t[s], s_t[s],
+                mode=config.calib_mode,
             )
             for s in range(K)
         ]
