@@ -496,7 +496,22 @@ def main():
         help="run just one tier (default: all)",
     )
     ap.add_argument("--epochs", type=int, default=12000)
+    ap.add_argument(
+        "--precision",
+        default=None,
+        choices=("default", "highest", "bf16"),
+        help="MXU operand precision for every WHVI product (trace-time "
+        "default via ops.set_fwht_precision). The TPU default rounds "
+        "operands to bf16 (3.5e-3 rel err) — too coarse for NUTS on "
+        "the lambda=1e-5 posterior coordinates (sd ~ 3e-3): the "
+        "round-4 TPU rerun of the mixed tier only converges with "
+        "'highest' (sweeps/r4_mixed_lambda_tpu*.json)",
+    )
     args = ap.parse_args()
+    if args.precision:
+        from whvi_tpu.ops import set_fwht_precision
+
+        set_fwht_precision(args.precision)
 
     if args.tier == "mixed":
         results = {"mixed_lambda": mixed_lambda_tier(epochs=args.epochs)}
