@@ -190,18 +190,28 @@ def test_whvi_mul_pallas_backend_dispatch():
 
 
 def test_auto_dispatch_table():
-    # "auto" backend: the pinned measured-win dispatch rule — Pallas
-    # only for direct (non-vmapped) products at the D's that beat XLA
-    # on the v5e (D=4096 at 1.09x; 2048/8192/16384 lose —
-    # sweeps/r3_tpu_queue1.log). Never under vmap (round-2 e2e: XLA
-    # 7.7x faster on the vmapped train step), never off-TPU.
+    # "auto" backend: the pinned measured-win dispatch rule. The table
+    # is currently EMPTY: round-3's D=4096 1.09x niche did not
+    # reproduce in round 4 (0.58-0.80x across two harnesses,
+    # sweeps/r4_tpu_queue5.log), so auto == XLA everywhere. The rule
+    # still hard-excludes vmapped calls (round-2 e2e: XLA 7.7x faster
+    # on the vmapped train step) and non-TPU backends.
+    from whvi_tpu.ops import whvi_op
     from whvi_tpu.ops.whvi_op import _auto_uses_pallas
 
-    assert _auto_uses_pallas(4096, batched=False, on_tpu=True)
-    for D in (64, 1024, 2048, 8192, 16384, 32768):
+    for D in (64, 1024, 2048, 4096, 8192, 16384, 32768):
         assert not _auto_uses_pallas(D, batched=False, on_tpu=True)
-    assert not _auto_uses_pallas(4096, batched=True, on_tpu=True)
-    assert not _auto_uses_pallas(4096, batched=False, on_tpu=False)
+    # the guard structure (a future table entry dispatches only direct
+    # on-TPU products)
+    orig = whvi_op._PALLAS_AUTO_SHAPES
+    try:
+        whvi_op._PALLAS_AUTO_SHAPES = frozenset({4096})
+        assert _auto_uses_pallas(4096, batched=False, on_tpu=True)
+        assert not _auto_uses_pallas(4096, batched=True, on_tpu=True)
+        assert not _auto_uses_pallas(4096, batched=False, on_tpu=False)
+        assert not _auto_uses_pallas(2048, batched=False, on_tpu=True)
+    finally:
+        whvi_op._PALLAS_AUTO_SHAPES = orig
 
 
 def test_auto_backend_matches_xla_numerics():

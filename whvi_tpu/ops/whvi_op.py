@@ -53,9 +53,14 @@ _BACKEND = os.environ.get("WHVI_MUL_BACKEND", "auto")
 
 # The measured-win dispatch table for "auto": transform sizes where the
 # fused Pallas kernel beat XLA on a direct (non-vmapped) product.
-# Measured v5e, B=512: D=2048 0.92x, D=4096 1.09x, D=8192 0.55x,
-# D=16384 0.56x (sweeps/r3_tpu_queue1.log) -> only 4096 qualifies.
-_PALLAS_AUTO_SHAPES = frozenset({4096})
+# Round-3 measured a 1.09x win at D=4096 (sweeps/r3_tpu_queue1.log),
+# but two independent round-4 re-measurements put the kernel at
+# 0.58-0.80x there (sweeps/r4_tpu_queue5.log: auto_dispatch_check AND
+# tpu_kernel_check, same session) — the niche does not reproduce, so
+# the table is pinned EMPTY ("auto" == XLA everywhere) until a shape
+# wins across sessions. The dispatch machinery (vmap guard, this
+# table, the A/B bench) stays so a future win is one entry away.
+_PALLAS_AUTO_SHAPES: frozenset = frozenset()
 
 
 def set_whvi_mul_backend(name: str) -> None:
