@@ -93,6 +93,13 @@ def main():
         "digits set (8x8, 10 classes, bundled offline), else synthetic; "
         "wine/breast_cancer: other real sklearn-bundled sets",
     )
+    ap.add_argument("--lambda-hidden", type=float, default=3.0)
+    ap.add_argument("--lambda-last", type=float, default=1.0)
+    ap.add_argument(
+        "--bias",
+        action="store_true",
+        help="deterministic bias on every WHVI layer",
+    )
     ap.add_argument("--hmc", action="store_true", help="golden-sampler check")
     ap.add_argument("--subset", type=int, default=0, help="train subset size")
     args = ap.parse_args()
@@ -132,12 +139,19 @@ def main():
     W = args.width
     net = WHVINetwork(
         layers=(
-            WHVILinear(X_tr.shape[1], W, lambda_=3.0, s_init="auto"),
-            relu,
-            WHVILinear(W, W, lambda_=3.0, s_init="auto"),
+            WHVILinear(
+                X_tr.shape[1], W, lambda_=args.lambda_hidden,
+                s_init="auto", bias=args.bias,
+            ),
             relu,
             WHVILinear(
-                W, int(y_tr.max()) + 1, lambda_=1.0, s_init="auto"
+                W, W, lambda_=args.lambda_hidden, s_init="auto",
+                bias=args.bias,
+            ),
+            relu,
+            WHVILinear(
+                W, int(y_tr.max()) + 1, lambda_=args.lambda_last,
+                s_init="auto", bias=args.bias,
             ),
         ),
         likelihood=CategoricalLikelihood(),
