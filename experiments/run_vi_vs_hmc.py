@@ -501,11 +501,11 @@ def main():
         default=None,
         choices=("default", "highest", "bf16"),
         help="MXU operand precision for every WHVI product (trace-time "
-        "default via ops.set_fwht_precision). The TPU default rounds "
-        "operands to bf16 (3.5e-3 rel err) — too coarse for NUTS on "
-        "the lambda=1e-5 posterior coordinates (sd ~ 3e-3): the "
-        "round-4 TPU rerun of the mixed tier only converges with "
-        "'highest' (sweeps/r4_mixed_lambda_tpu*.json)",
+        "default via ops.set_fwht_precision). Measured: precision is "
+        "NOT the lever for sampler convergence — the mixed tier passes "
+        "all gates on the v5e at DEFAULT (bf16-operand) precision at "
+        "its epochs=8000 config, and 'highest' does not rescue the "
+        "harder 12000-epoch posterior (sweeps/r4_mixed_lambda_tpu*)",
     )
     args = ap.parse_args()
     if args.precision:
