@@ -147,3 +147,37 @@ def test_protocol_calib_mode_flag():
     )
     # different fit rules -> (generically) different temperatures
     assert out_q["temperature_mean"] != out_n["temperature_mean"]
+
+
+def test_protocol_calibrate_with_normalize_y_and_hetero():
+    # calibration composes with normalize-y + heteroscedastic (z-scores
+    # are affine-invariant, so the fit-unit tau IS the original-unit
+    # tau); both protocol paths must agree.
+    X, y = _data()
+    y = y * 30.0 + 50.0
+    base = dict(
+        n_splits=2,
+        epochs1=0,
+        epochs2=12,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        normalize_y=True,
+        heteroscedastic=True,
+        calibrate=True,
+        calib_frac=0.2,
+    )
+    out_seq = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=False)
+    )
+    out_vm = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, vmap_splits=True)
+    )
+    for a, b in zip(out_seq["splits"], out_vm["splits"]):
+        np.testing.assert_allclose(
+            a["temperature"], b["temperature"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            a["coverage95_cal"], b["coverage95_cal"], rtol=1e-6
+        )
+    assert np.isfinite(out_vm["temperature_mean"])

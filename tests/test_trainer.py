@@ -257,3 +257,14 @@ def test_noise_freeze_requires_split_head():
     net = _small_net()
     with pytest.raises(ValueError, match="split head"):
         Trainer(net, TrainConfig(noise_freeze_steps=5))
+
+
+def test_vmap_splits_and_mesh_mutually_exclusive():
+    import pytest
+
+    from whvi_tpu.parallel import make_mesh
+
+    net = _small_net()
+    mesh = make_mesh(data=2, sample=4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Trainer(net, TrainConfig(), mesh=mesh, vmap_splits=True)
