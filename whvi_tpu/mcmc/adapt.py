@@ -41,8 +41,12 @@ __all__ = [
     "welford_init",
     "welford_update",
     "welford_variance",
+    "welford_cov_init",
+    "welford_cov_update",
+    "welford_covariance",
     "warmup_schedule",
     "window_update",
+    "window_update_dense",
 ]
 
 
@@ -79,6 +83,52 @@ def welford_variance(state: WelfordState) -> jax.Array:
     var = state.m2 / jnp.maximum(n - 1.0, 1.0)
     w = n / (n + 5.0)
     return w * var + 1e-3 * (1.0 - w)
+
+
+def welford_cov_init(dim: int, dtype=jnp.float32) -> WelfordState:
+    """Full-covariance accumulator: ``m2`` is ``(dim, dim)``.
+
+    For low-dimensional posteriors (the mixed-lambda WHVI g-posterior
+    is 16-dim) a DENSE metric captures the cross-coordinate geometry a
+    diagonal cannot — the round-4 measured limitation on over-converged
+    mode-local posteriors (docs/RESULTS.md round 4) is exactly where
+    the diagonal estimate collapses.
+    """
+    return WelfordState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim, dim), dtype),
+    )
+
+
+def welford_cov_update(state: WelfordState, x: jax.Array, on) -> WelfordState:
+    """Masked Welford covariance step (outer-product form)."""
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + jnp.outer(delta, x - mean)
+    new = WelfordState(count, mean, m2)
+    return jax.tree.map(lambda a, b: jnp.where(on, a, b), new, state)
+
+
+def welford_covariance(state: WelfordState) -> jax.Array:
+    """Stan-regularized sample covariance: shrink toward 1e-3 * I,
+    plus a scale-aware ridge (1e-3 of the mean diagonal).
+
+    The extra ridge is an f32 necessity Stan (in doubles) skips: a
+    window whose draws lie on a tight correlation ridge yields a
+    near-rank-1 covariance; its Cholesky then has a tiny diagonal, the
+    momentum draw ``L^{-T} xi`` explodes, and the f32 kinetic energy
+    overflows — measured blow-up on a rho=0.95 Gaussian before this
+    floor (tests/test_mass_adapt.py dense tests).
+    """
+    n = state.count
+    cov = state.m2 / jnp.maximum(n - 1.0, 1.0)
+    w = n / (n + 5.0)
+    dim = state.mean.shape[0]
+    eye = jnp.eye(dim, dtype=cov.dtype)
+    scale = jnp.maximum(jnp.trace(cov) / dim, 1e-3)
+    return w * cov + (1e-3 * (1.0 - w) + 1e-3 * w * scale) * eye
 
 
 def warmup_schedule(
@@ -131,6 +181,17 @@ def window_update(wf: WelfordState, m_inv: jax.Array, at_end):
     accumulator. Masked (traced ``at_end``), scan-friendly."""
     new_m_inv = jnp.where(at_end, welford_variance(wf), m_inv)
     fresh = welford_init(m_inv.shape[0], m_inv.dtype)
+    new_wf = jax.tree.map(
+        lambda f, o: jnp.where(at_end, f, o), fresh, wf
+    )
+    return new_wf, new_m_inv
+
+
+def window_update_dense(wf: WelfordState, m_inv: jax.Array, at_end):
+    """Dense-metric window end: inverse mass (a ``(dim, dim)``
+    posterior-covariance estimate) <- regularized sample covariance."""
+    new_m_inv = jnp.where(at_end, welford_covariance(wf), m_inv)
+    fresh = welford_cov_init(m_inv.shape[0], m_inv.dtype)
     new_wf = jax.tree.map(
         lambda f, o: jnp.where(at_end, f, o), fresh, wf
     )

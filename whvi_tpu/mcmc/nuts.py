@@ -46,6 +46,13 @@ class NUTSConfig:
     # Windowed diagonal mass-matrix adaptation (Stan phase II; see
     # mcmc.adapt) — on by default, same rationale as HMCConfig.
     mass_adapt: bool = True
+    # Dense (full-covariance) metric instead of diagonal: captures
+    # cross-coordinate posterior geometry; O(dim^2) memory and an
+    # O(dim^3) Cholesky per draw, so meant for LOW-dimensional
+    # posteriors (the 16-dim mixed-lambda WHVI g-posterior is the
+    # motivating case — round-4 measured limitation of the diagonal
+    # metric on over-converged mode-local posteriors).
+    dense_mass: bool = False
 
 
 def _flat(tree):
@@ -78,22 +85,37 @@ def nuts_sample(
 
     grad_vec = jax.grad(logp_vec)
 
+    dense = cfg.dense_mass
+
+    def mdot(m_inv, p):
+        # metric-weighted momentum: diagonal elementwise or dense matvec
+        return m_inv @ p if dense else m_inv * p
+
     def leapfrog(q, p, eps, m_inv):
         p = p + 0.5 * eps * grad_vec(q)
-        q = q + eps * (m_inv * p)
+        q = q + eps * mdot(m_inv, p)
         p = p + 0.5 * eps * grad_vec(q)
         return q, p
 
     def uturn(q_minus, q_plus, p_minus, p_plus, m_inv):
-        # rate of change of q is m_inv * p, so the U-turn projection
+        # rate of change of q is m_inv @ p, so the U-turn projection
         # uses the metric-weighted momenta (Stan's criterion)
         dq = q_plus - q_minus
-        return (jnp.dot(dq, m_inv * p_minus) < 0.0) | (
-            jnp.dot(dq, m_inv * p_plus) < 0.0
+        return (jnp.dot(dq, mdot(m_inv, p_minus)) < 0.0) | (
+            jnp.dot(dq, mdot(m_inv, p_plus)) < 0.0
         )
 
     def kin(p, m_inv):
-        return 0.5 * jnp.dot(p, m_inv * p)
+        return 0.5 * jnp.dot(p, mdot(m_inv, p))
+
+    def sample_momentum(k, m_inv):
+        xi = jax.random.normal(k, (dim,))
+        if not dense:
+            return xi * jax.lax.rsqrt(m_inv)
+        # p ~ N(0, M) with M = m_inv^{-1}: m_inv = L L^T (Cholesky)
+        # => p = L^{-T} xi has cov L^{-T} L^{-1} = m_inv^{-1}
+        L = jnp.linalg.cholesky(m_inv)
+        return jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
 
     NEG_INF = jnp.asarray(-jnp.inf)
 
@@ -137,12 +159,17 @@ def nuts_sample(
         return qm, pm, qp2, pp2, prop, log_w, turned, div_l | div_r
 
     gamma, t0, kappa = 0.05, 10.0, 0.75
-    from whvi_tpu.mcmc.adapt import (
-        warmup_schedule,
-        welford_init,
-        welford_update,
-        window_update,
-    )
+    from whvi_tpu.mcmc import adapt as _adapt
+    from whvi_tpu.mcmc.adapt import warmup_schedule
+
+    if dense:
+        welford_init = _adapt.welford_cov_init
+        welford_update = _adapt.welford_cov_update
+        window_update = _adapt.window_update_dense
+    else:
+        welford_init = _adapt.welford_init
+        welford_update = _adapt.welford_update
+        window_update = _adapt.window_update
 
     acc_mask, end_mask = (
         warmup_schedule(cfg.n_warmup)
@@ -157,7 +184,7 @@ def nuts_sample(
         q, mu, log_eps, log_eps_bar, h_bar, da_t, m_inv, wf, i = carry
         key, w_acc, w_end = inp
         k_mom, k_dirs, k_tree, k_acc = jax.random.split(key, 4)
-        p0 = jax.random.normal(k_mom, (dim,)) * jax.lax.rsqrt(m_inv)
+        p0 = sample_momentum(k_mom, m_inv)
         h0 = -logp_vec(q) + kin(p0, m_inv)
         eps = jnp.exp(log_eps)
 
@@ -242,7 +269,7 @@ def nuts_sample(
         jnp.log(cfg.init_step_size),
         jnp.zeros(()),
         jnp.asarray(0, jnp.int32),
-        jnp.ones((dim,)),
+        jnp.eye(dim) if dense else jnp.ones((dim,)),
         welford_init(dim),
         jnp.asarray(0, jnp.int32),
     )
