@@ -339,7 +339,8 @@ def nonlinear_tier(seed=0, n_train=64, epochs=20000):
 
 
 def mixed_lambda_tier(
-    seed=0, n_train=64, epochs=8000, n_draws=800, tree_depth=6
+    seed=0, n_train=64, epochs=8000, n_draws=800, tree_depth=6,
+    dense_mass=False,
 ):
     """Before/after demonstration of the mass-matrix adaptation on the
     FLAGSHIP prior mix: hidden layer lambda = 3, output layer
@@ -425,6 +426,7 @@ def mixed_lambda_tier(
                     max_tree_depth=tree_depth,
                     target_accept=0.9,
                     mass_adapt=mass,
+                    dense_mass=dense_mass and mass,
                 ),
                 n_chains=n_chains,
                 inits=inits,
@@ -497,6 +499,12 @@ def main():
     )
     ap.add_argument("--epochs", type=int, default=12000)
     ap.add_argument(
+        "--dense-mass",
+        action="store_true",
+        help="full-covariance metric for the adapted-mass arm (the "
+        "mixed posterior is 16-dim; round-4 capability)",
+    )
+    ap.add_argument(
         "--precision",
         default=None,
         choices=("default", "highest", "bf16"),
@@ -514,7 +522,11 @@ def main():
         set_fwht_precision(args.precision)
 
     if args.tier == "mixed":
-        results = {"mixed_lambda": mixed_lambda_tier(epochs=args.epochs)}
+        results = {
+            "mixed_lambda": mixed_lambda_tier(
+                epochs=args.epochs, dense_mass=args.dense_mass
+            )
+        }
         print(json.dumps(results, indent=2))
         if args.out:
             with open(args.out, "w") as f:
