@@ -100,6 +100,13 @@ def main():
         action="store_true",
         help="deterministic bias on every WHVI layer",
     )
+    ap.add_argument(
+        "--calibrate",
+        action="store_true",
+        help="hold 10%% of train out, fit a softmax logit temperature "
+        "on it (whvi_tpu.calibration.fit_logit_temperature), report "
+        "test NLL/ECE raw vs tempered",
+    )
     ap.add_argument("--hmc", action="store_true", help="golden-sampler check")
     ap.add_argument("--subset", type=int, default=0, help="train subset size")
     args = ap.parse_args()
@@ -170,6 +177,12 @@ def main():
     trainer = Trainer(net, cfg)
     state = trainer.init(jax.random.PRNGKey(args.seed))
 
+    X_cal = y_cal = None
+    if args.calibrate:
+        n_cal = max(1, len(X_tr) // 10)
+        X_cal, y_cal = X_tr[:n_cal], y_tr[:n_cal]
+        X_tr, y_tr = X_tr[n_cal:], y_tr[n_cal:]
+
     t0 = time.time()
     state, logs = trainer.fit(
         state,
@@ -188,6 +201,48 @@ def main():
         "wall_s": round(wall, 1),
         "epochs_per_s": round(total / max(wall, 1e-9), 2),
     }
+
+    if args.calibrate:
+        from whvi_tpu.calibration import (
+            expected_calibration_error,
+            fit_logit_temperature,
+        )
+
+        logits_fn = jax.jit(
+            lambda p, x, k: net.predict(p, x, k, args.eval_samples)
+        )
+        cal_logits = np.asarray(
+            logits_fn(state.params, jnp.asarray(X_cal), jax.random.PRNGKey(3))
+        )
+        te_logits = np.asarray(
+            logits_fn(state.params, jnp.asarray(X_te), jax.random.PRNGKey(4))
+        )
+        tau = fit_logit_temperature(cal_logits, y_cal)
+
+        def probs(logits, t):
+            z = logits / t
+            z = z - z.max(axis=-1, keepdims=True)
+            p = np.exp(z)
+            p /= p.sum(axis=-1, keepdims=True)
+            return p.mean(axis=0)
+
+        def nll(p):
+            return float(
+                -np.mean(
+                    np.log(p[np.arange(len(y_te)), y_te.astype(int)] + 1e-12)
+                )
+            )
+
+        p_raw, p_cal = probs(te_logits, 1.0), probs(te_logits, tau)
+        out["logit_temperature"] = round(tau, 3)
+        out["test_nll_raw"] = round(nll(p_raw), 4)
+        out["test_nll_cal"] = round(nll(p_cal), 4)
+        out["test_ece_raw"] = round(
+            expected_calibration_error(p_raw, y_te), 4
+        )
+        out["test_ece_cal"] = round(
+            expected_calibration_error(p_cal, y_te), 4
+        )
 
     if args.hmc:
         # Golden-sampler check, round-2 scope (VERDICT item 3/4): the

@@ -181,3 +181,35 @@ def test_protocol_calibrate_with_normalize_y_and_hetero():
             a["coverage95_cal"], b["coverage95_cal"], rtol=1e-6
         )
     assert np.isfinite(out_vm["temperature_mean"])
+
+
+def test_ece_and_logit_temperature():
+    from whvi_tpu.calibration import (
+        expected_calibration_error,
+        fit_logit_temperature,
+    )
+
+    rng = np.random.RandomState(5)
+    n, C = 6000, 5
+    # well-specified logits scaled 3x hotter than truth: overconfident
+    true_logits = rng.randn(n, C) * 2.0
+    p_true = np.exp(true_logits)
+    p_true /= p_true.sum(axis=1, keepdims=True)
+    labels = np.array([rng.choice(C, p=p) for p in p_true])
+    hot = true_logits[None] * 3.0  # (S=1, N, C) overconfident logits
+
+    tau = fit_logit_temperature(hot, labels)
+    assert 2.0 < tau < 4.5  # recovers ~3
+
+    def probs(logits, t):
+        z = logits / t
+        z = z - z.max(axis=-1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=-1, keepdims=True)
+        return p.mean(axis=0)
+
+    ece_raw = expected_calibration_error(probs(hot, 1.0), labels)
+    ece_cal = expected_calibration_error(probs(hot, tau), labels)
+    assert ece_cal < 0.5 * ece_raw
+    # perfectly calibrated probabilities give small ECE
+    assert expected_calibration_error(p_true, labels) < 0.03

@@ -31,6 +31,8 @@ __all__ = [
     "coverage",
     "reliability_table",
     "table_from_z",
+    "expected_calibration_error",
+    "fit_logit_temperature",
     "DEFAULT_LEVELS",
 ]
 
@@ -108,6 +110,60 @@ def table_from_z(z: np.ndarray, levels=DEFAULT_LEVELS) -> list[dict]:
         }
         for p in levels
     ]
+
+
+def expected_calibration_error(
+    probs: np.ndarray, labels: np.ndarray, n_bins: int = 15
+) -> float:
+    """Classification ECE: confidence-binned |accuracy − confidence|,
+    weighted by bin mass (Guo et al. 2017). ``probs (N, C)`` predictive
+    class probabilities, ``labels (N,)`` integer classes."""
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels).reshape(-1)
+    conf = probs.max(axis=1)
+    pred = probs.argmax(axis=1)
+    correct = (pred == labels).astype(np.float64)
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    ece = 0.0
+    n = len(labels)
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        mask = (conf > lo) & (conf <= hi)
+        if mask.sum() == 0:
+            continue
+        ece += (mask.sum() / n) * abs(
+            correct[mask].mean() - conf[mask].mean()
+        )
+    return float(ece)
+
+
+def fit_logit_temperature(
+    logits: np.ndarray, labels: np.ndarray, taus=None
+) -> float:
+    """Classification temperature: scalar T minimizing the calib-set
+    NLL of ``mean_S softmax(logits_s / T)`` over a log-spaced grid.
+
+    ``logits (S, N, C)``: MC logit samples (the Bayesian classifier's
+    posterior predictive is the sample-mean of tempered softmaxes, so T
+    composes with the MC mixture rather than replacing it). A 1-D grid
+    is exact enough: the NLL is smooth and unimodal in log T.
+    """
+    logits = np.asarray(logits, np.float64)
+    labels = np.asarray(labels).reshape(-1)
+    if taus is None:
+        taus = np.exp(np.linspace(np.log(0.1), np.log(10.0), 61))
+
+    def nll(t):
+        z = logits / t
+        z = z - z.max(axis=-1, keepdims=True)
+        p = np.exp(z)
+        p /= p.sum(axis=-1, keepdims=True)
+        p_mean = p.mean(axis=0)  # (N, C)
+        return -np.mean(
+            np.log(p_mean[np.arange(len(labels)), labels] + 1e-12)
+        )
+
+    vals = [nll(t) for t in taus]
+    return float(taus[int(np.argmin(vals))])
 
 
 def reliability_table(
