@@ -474,3 +474,46 @@ def test_sharded_step_noise_freeze_validates_structure():
         make_sharded_train_step(
             net, decayed_adam(), mesh, n_samples=4, noise_freeze_steps=5
         )
+
+
+def test_split_sharded_vmapped_trainer_matches_unsharded():
+    # The split-replica axis sharded across an 8-device mesh by pure
+    # jit annotations must reproduce the single-device vmapped fit
+    # per replica (independent replicas, zero collectives).
+    from jax.sharding import Mesh
+
+    net = _net(train_samples=2)
+    rng = np.random.RandomState(0)
+    K = 8
+    Xs = rng.randn(K, 24, 4).astype(np.float32)
+    Ys = Xs.sum(-1, keepdims=True).astype(np.float32)
+    cfg = TrainConfig(epochs1=2, epochs2=6, epochs_per_call=4, batch_size=8)
+    keys = jnp.stack([jax.random.PRNGKey(100 + i) for i in range(K)])
+
+    plain = Trainer(net, cfg, vmap_splits=True)
+    s0 = plain.init(keys)
+    s0, _ = plain.fit(s0, Xs, Ys)
+
+    smesh = Mesh(np.asarray(jax.devices()), axis_names=("split",))
+    sharded = Trainer(net, cfg, vmap_splits=True, split_mesh=smesh)
+    s1 = sharded.init(keys)
+    s1, _ = sharded.fit(s1, Xs, Ys)
+
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+    ekeys = jnp.stack([jax.random.PRNGKey(i) for i in range(K)])
+    m0 = plain.evaluate(s0.params, Xs, Ys, ekeys)
+    m1 = sharded.evaluate(s1.params, Xs, Ys, ekeys)
+    np.testing.assert_allclose(m0["rmse"], m1["rmse"], rtol=1e-5)
+
+
+def test_split_mesh_requires_vmap_splits():
+    from jax.sharding import Mesh
+
+    net = _net()
+    smesh = Mesh(np.asarray(jax.devices()), axis_names=("split",))
+    with pytest.raises(ValueError, match="requires vmap_splits"):
+        Trainer(net, TrainConfig(), split_mesh=smesh)

@@ -131,6 +131,7 @@ def evaluate_bayesian_regression(
     ckpt_dir: str | None = None,
     log_fn: Callable[[dict], None] | None = None,
     mesh=None,
+    split_mesh=None,
 ) -> dict:
     """Run the full protocol; returns mean/sd of RMSE and MNLL across
     splits plus per-split details (reference evaluation.py:66-108).
@@ -262,7 +263,16 @@ def evaluate_bayesian_regression(
         if isinstance(config.vmap_splits, bool)
         else mesh is None
     )
-    trainer = Trainer(net, tcfg, mesh=mesh, vmap_splits=use_vmap)
+    trainer = Trainer(
+        net,
+        tcfg,
+        mesh=mesh,
+        vmap_splits=use_vmap,
+        # single-axis ("split",) mesh: shard the vmapped replica axis
+        # across devices (pure jit annotations, zero collectives);
+        # n_splits must be a multiple of its device count
+        split_mesh=split_mesh if use_vmap else None,
+    )
     # one jitted predict shared by the heteroscedastic/normalize-y
     # metric fallbacks below (was a fresh jit(lambda) per split)
     import jax.numpy as jnp

@@ -108,6 +108,7 @@ class Trainer:
         tx: optax.GradientTransformation | None = None,
         mesh=None,
         vmap_splits: bool = False,
+        split_mesh=None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh`` with axes ``(data,
         sample)``. When given, every train step computes the MC-ELBO
@@ -129,17 +130,29 @@ class Trainer:
         evaluation.py:66-101; so did rounds 1-3 here, at 0.5% measured
         MFU — batching the splits fills the idle MXU). Same per-replica
         keys => same per-replica results as sequential fits
-        (tests/test_evaluation.py). Mutually exclusive with ``mesh``."""
+        (tests/test_evaluation.py). Mutually exclusive with ``mesh``.
+
+        ``split_mesh`` (with ``vmap_splits``): a single-axis
+        ``jax.sharding.Mesh`` (axis name ``"split"``) — the replica
+        axis of the vmapped program is sharded across its devices by
+        pure jit sharding annotations. Replicas are independent, so
+        XLA partitions the batched program with ZERO collectives: the
+        protocol scales across chips as trivially as across the vmap
+        axis (the replica count must divide the device count's
+        multiples, i.e. K % n_devices == 0)."""
         if vmap_splits and mesh is not None:
             raise ValueError(
                 "vmap_splits and mesh are mutually exclusive (vmapped "
                 "replicas train on one device; shard replicas across "
-                "devices by slicing the stack instead)"
+                "devices with split_mesh instead)"
             )
+        if split_mesh is not None and not vmap_splits:
+            raise ValueError("split_mesh requires vmap_splits=True")
         self.net = net
         self.config = config
         self.mesh = mesh
         self.vmap_splits = vmap_splits
+        self.split_mesh = split_mesh
         # static: the noise-branch freeze requires a heteroscedastic
         # split head — a Parallel last layer with exactly [mean, noise]
         # branches plus a likelihood that splits [mean, raw_sigma].
@@ -224,6 +237,11 @@ class Trainer:
             )
 
         if self.vmap_splits:
+            if self.split_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(self.split_mesh, P("split"))
+                return jax.jit(jax.vmap(_init), out_shardings=rep)(key)
             return jax.jit(jax.vmap(_init))(key)
         return jax.jit(_init)(key)
 
@@ -343,6 +361,20 @@ class Trainer:
         else:
             run_epochs = run_epochs_core
 
+        if self.split_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(self.split_mesh, P("split"))
+            return jax.jit(
+                run_epochs,
+                static_argnames=("n_epochs", "n_train"),
+                donate_argnums=(0,),
+                # replica axis 0 of every state/data leaf sharded over
+                # the split mesh; independent replicas => XLA partitions
+                # the batched program with no collectives at all
+                in_shardings=(rep, rep, rep, None),
+                out_shardings=(rep, rep),
+            )
         return jax.jit(
             run_epochs,
             static_argnames=("n_epochs", "n_train"),
