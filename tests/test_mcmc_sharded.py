@@ -95,3 +95,21 @@ def test_sharded_chains_whvi_posterior():
     )
     for leaf in jax.tree.leaves(s):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_dense_mass_composes_with_sharded_chains():
+    # dense metric + mesh-sharded chain axis must equal the vmapped
+    # dense run per chain.
+    cfg = NUTSConfig(
+        n_warmup=20, n_samples=20, max_tree_depth=4, dense_mass=True
+    )
+    mesh = make_mesh(data=2, sample=4)
+    key = jax.random.PRNGKey(5)
+    s_v, _ = nuts_sample_chains(_logp, _init(), key, cfg, n_chains=8)
+    s_m, _ = nuts_sample_chains(
+        _logp, _init(), key, cfg, n_chains=8, mesh=mesh
+    )
+    for a, b in zip(jax.tree.leaves(s_v), jax.tree.leaves(s_m)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
