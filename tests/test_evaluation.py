@@ -167,3 +167,35 @@ def test_vmapped_protocol_checkpoints_and_resumes(tmp_path):
     out2 = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=str(tmp_path))
     for a, b in zip(out1["splits"], out2["splits"]):
         np.testing.assert_allclose(a["rmse"], b["rmse"], rtol=1e-6)
+
+
+def test_protocol_column_lrt_smoke():
+    # column_lrt + per-example noise through the full vmapped protocol
+    X, y = _data()
+    cfg = ProtocolConfig(
+        n_splits=2,
+        epochs1=0,
+        epochs2=12,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        per_example_noise=True,
+        column_lrt=True,
+    )
+    out = evaluate_bayesian_regression(X, y, cfg)
+    assert np.isfinite(out["rmse_mean"])
+    # and the flag actually reaches the layers: a run without
+    # per_example_noise must give a DIFFERENT result than with it
+    # (column LRT only engages when both are set)
+    cfg2 = ProtocolConfig(
+        n_splits=2,
+        epochs1=0,
+        epochs2=12,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        per_example_noise=True,
+        column_lrt=False,
+    )
+    out2 = evaluate_bayesian_regression(X, y, cfg2)
+    assert out["rmse_mean"] != out2["rmse_mean"]
