@@ -162,7 +162,9 @@ def test_vmapped_protocol_checkpoints_and_resumes(tmp_path):
     out1 = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=str(tmp_path))
     import os
 
-    files = os.listdir(tmp_path / "stacked")
+    # checkpoints live under a config-hash dir (stale-resume guard)
+    (cfg_dir,) = [d for d in os.listdir(tmp_path) if d.startswith("cfg-")]
+    files = os.listdir(tmp_path / cfg_dir / "stacked")
     assert any(f.startswith("ckpt-") for f in files)
     out2 = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=str(tmp_path))
     for a, b in zip(out1["splits"], out2["splits"]):

@@ -247,3 +247,21 @@ def test_auto_backend_matches_xla_numerics():
     )
     assert seen == [True]
     assert not _any_batched(x)
+
+
+def test_any_batched_detects_nested_tracers():
+    # grad-of-vmap wraps the BatchTracer inside a JVPTracer: the auto
+    # guard must still see it (round-4 review finding #3).
+    import numpy as np
+
+    from whvi_tpu.ops.whvi_op import _any_batched
+
+    seen = []
+
+    def inner(x):
+        seen.append(_any_batched(x))
+        return jnp.sum(x * x)
+
+    x = jnp.arange(8.0).reshape(2, 4)
+    jax.grad(lambda v: jnp.sum(jax.vmap(inner)(v)))(x)
+    assert any(seen)

@@ -64,7 +64,7 @@ def test_sharded_chains_validates_divisibility():
     import pytest
 
     mesh = make_mesh(data=2, sample=4)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="multiple"):
         nuts_sample_chains(
             _logp, _init(), jax.random.PRNGKey(0), NUTSConfig(
                 n_warmup=2, n_samples=2, max_tree_depth=3

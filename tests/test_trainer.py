@@ -268,3 +268,22 @@ def test_vmap_splits_and_mesh_mutually_exclusive():
     mesh = make_mesh(data=2, sample=4)
     with pytest.raises(ValueError, match="mutually exclusive"):
         Trainer(net, TrainConfig(), mesh=mesh, vmap_splits=True)
+
+
+def test_checkpoint_every_zero_with_ckpt_dir(tmp_path):
+    # checkpoint_every=0 is the "disable periodic checkpoints" idiom;
+    # with a ckpt_dir it must still save the FINAL checkpoint and not
+    # divide by zero (round-4 review finding #4).
+    X, y = _toy_data()
+    net = _small_net()
+    trainer = Trainer(
+        net, TrainConfig(epochs1=0, epochs2=4, checkpoint_every=0)
+    )
+    state = trainer.init(jax.random.PRNGKey(0))
+    state, _ = trainer.fit(state, X, y, ckpt_dir=str(tmp_path))
+    import os
+
+    files = sorted(
+        f for f in os.listdir(tmp_path) if f.startswith("ckpt-")
+    )
+    assert files == ["ckpt-4.npz", "ckpt-4.npz.meta.json"]

@@ -230,6 +230,11 @@ def evaluate_bayesian_regression(
     # otherwise kl_warmup/noise-freeze fractions would cover more of
     # training than configured (advisor round 3)
     n_tr = n - n_test
+    if config.calibrate:
+        # the calibration holdout comes out of the TRAIN rows, so the
+        # Trainer sees fewer steps/epoch — compute the warmup/freeze
+        # fractions on the size it actually trains on (round-4 review)
+        n_tr -= max(1, int(round(n_tr * config.calib_frac)))
     B = min(config.batch_size, n_tr)
     if mesh is not None:
         d = mesh.shape["data"]
@@ -257,6 +262,21 @@ def evaluate_bayesian_regression(
             "(.predict); got "
             f"{type(net.likelihood).__name__}"
         )
+
+    if ckpt_dir:
+        # Isolate checkpoints per protocol configuration: resume is on
+        # by default and parameter SHAPES stay compatible across many
+        # config changes (e.g. --calibrate shrinks the train set but
+        # not the model), so a stale checkpoint from a different config
+        # would silently skip training — and a calibrate run would then
+        # fit its temperature on rows the restored model trained on
+        # (round-4 review finding #2).
+        import hashlib
+
+        cfg_hash = hashlib.sha256(
+            repr(sorted(dataclasses.asdict(config).items())).encode()
+        ).hexdigest()[:10]
+        ckpt_dir = os.path.join(ckpt_dir, f"cfg-{cfg_hash}")
 
     use_vmap = (
         config.vmap_splits
@@ -543,11 +563,19 @@ def _run_vmapped_protocol(
     vmapped_predict = jax.jit(
         jax.vmap(lambda p, x, k: net.predict(p, x, k, config.eval_samples))
     )
-    if config.heteroscedastic and "rmse" not in metrics:
-        y_hat = vmapped_predict(
+    # ONE test-set forward pass shared by the hetero-rmse fallback, the
+    # normalize-y conversions AND calibration below: each is a full
+    # (K, S, B) program dispatch over the remote tunnel (round-4 review
+    # finding #5 — this used to run up to three times)
+    y_hat_te_full = None
+    if config.calibrate or config.normalize_y or (
+        config.heteroscedastic and "rmse" not in metrics
+    ):
+        y_hat_te_full = vmapped_predict(
             state.params, jnp.asarray(Xs_te), eval_keys
-        )  # (K, S, B, 2*n_out)
-        mean, _ = net.likelihood.split(y_hat)
+        )  # (K, S, B, out-or-2*out)
+    if config.heteroscedastic and "rmse" not in metrics:
+        mean, _ = net.likelihood.split(y_hat_te_full)
         pred = np.asarray(jnp.mean(mean, axis=1))  # (K, B, n_out)
         metrics["rmse"] = np.sqrt(
             np.mean((pred - ys_te_fit) ** 2, axis=(1, 2))
@@ -555,9 +583,7 @@ def _run_vmapped_protocol(
     if config.normalize_y:
         # same change-of-variables conversions as the sequential path,
         # done per split in numpy (K-sized loop, negligible)
-        y_hat = np.asarray(
-            vmapped_predict(state.params, jnp.asarray(Xs_te), eval_keys)
-        )
+        y_hat = np.asarray(y_hat_te_full)
         if config.heteroscedastic:
             y_hat, _ = net.likelihood.split(y_hat)
         new = {k: np.array(v, dtype=np.float64) for k, v in metrics.items()}
@@ -592,10 +618,7 @@ def _run_vmapped_protocol(
             state.params, jnp.asarray(Xs_cal), cal_keys
         )
         m_c, s_c = mom(state.params["likelihood"], y_hat_cal)
-        y_hat_te = vmapped_predict(
-            state.params, jnp.asarray(Xs_te), eval_keys
-        )
-        m_t, s_t = mom(state.params["likelihood"], y_hat_te)
+        m_t, s_t = mom(state.params["likelihood"], y_hat_te_full)
         cal = [
             _split_calibration(
                 ys_cal_fit[s], m_c[s], s_c[s], ys_te_fit[s], m_t[s], s_t[s],

@@ -66,8 +66,8 @@ def run_chains(
     """Shared driver behind ``hmc_sample_chains`` / ``nuts_sample_chains``.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the chain axis is sharded
-    over ALL mesh axes (chains must divide the device count); each
-    device vmaps its local chains. ``mesh=None`` vmaps everything on the
+    over ALL mesh axes (``n_chains`` must be a multiple of the device
+    count); each device vmaps its local chains. ``mesh=None`` vmaps everything on the
     current device. ``inits``: optional explicit per-chain starts
     (pytree with leading ``(n_chains,)`` axis), e.g. draws from a
     trained q for mode-local validation of a multimodal BNN posterior.
@@ -94,8 +94,8 @@ def run_chains(
     n_dev = mesh.devices.size
     if n_chains % n_dev:
         raise ValueError(
-            f"n_chains={n_chains} must divide the mesh device count "
-            f"{n_dev} to shard the chain axis"
+            f"n_chains={n_chains} must be a multiple of the mesh "
+            f"device count {n_dev} to shard the chain axis"
         )
     spec = P(axes)  # chain axis split over every mesh axis
     # check_vma off: the sampler's scan carries start from replicated

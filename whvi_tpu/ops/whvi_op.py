@@ -83,10 +83,31 @@ def _any_batched(*arrays) -> bool:
     """
     try:  # public alias removed in newer jax
         from jax._src.interpreters.batching import BatchTracer
-    except ImportError:  # pragma: no cover - older jax
-        from jax.interpreters.batching import BatchTracer
+    except ImportError:
+        try:  # pragma: no cover - older jax
+            from jax.interpreters.batching import BatchTracer
+        except ImportError:  # pragma: no cover - future jax
+            # cannot introspect => FAIL SAFE: report batched so "auto"
+            # never risks routing a vmapped product through Pallas
+            return True
 
-    return any(isinstance(a, BatchTracer) for a in arrays)
+    def _batched(a):
+        # walk nested tracers (e.g. a JVPTracer under grad-of-vmap
+        # wraps the BatchTracer in its .primal — round-4 review #3)
+        seen = 0
+        while isinstance(a, jax.core.Tracer) and seen < 8:
+            if isinstance(a, BatchTracer):
+                return True
+            nxt = getattr(a, "primal", None)
+            if nxt is None:
+                nxt = getattr(a, "val", None)
+            if nxt is None:
+                return False
+            a = nxt
+            seen += 1
+        return isinstance(a, BatchTracer)
+
+    return any(_batched(a) for a in arrays)
 
 
 def _auto_uses_pallas(D: int, batched: bool, on_tpu: bool) -> bool:

@@ -111,11 +111,14 @@ def mask_noise_branch_grads(grads: dict, flag: jax.Array) -> dict:
     in docs/RESULTS.md round 3). ``flag`` is traced so the freeze
     schedule compiles into the one shared step.
 
-    Ordering contract: ``branches[0]`` is the mean head, ``branches[1:]``
-    are noise heads (the split likelihood reads ``[mean, raw_sigma]`` in
-    that column order) — every non-first branch is frozen. The Trainer
-    validates the structure up front (2 branches, split likelihood) and
-    raises on anything else rather than silently ignoring the freeze.
+    Ordering contract: ``branches == (mean, noise)`` — EXACTLY two, in
+    the split likelihood's ``[mean, raw_sigma]`` column order, enforced
+    up front by :func:`validate_split_head` (which raises on anything
+    else rather than silently ignoring the freeze). The mask slices
+    ``branches[1:]`` only so it cannot IndexError if the validator is
+    bypassed; a wider head is NOT supported — freezing branches[1:] of
+    a 3-branch head whose extra branch were part of the mean would
+    freeze mean capacity, which is why the validator stays strict.
     """
     flag = jnp.asarray(flag)
     layers = list(grads["layers"])

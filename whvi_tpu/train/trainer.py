@@ -471,7 +471,11 @@ class Trainer:
                 ckpt_dir
                 and not in_phase1
                 and (
-                    (epoch - cfg.epochs1) % cfg.checkpoint_every == 0
+                    (
+                        cfg.checkpoint_every > 0
+                        and (epoch - cfg.epochs1) % cfg.checkpoint_every
+                        == 0
+                    )
                     or epoch == total
                 )
             ):
