@@ -43,7 +43,7 @@ def test_synthetic_classification():
 
 def test_uci_registry_complete():
     # every dataset family the reference ships runners for, plus protein
-    # and the sklearn-bundled diabetes extra (round 2)
+    # and the sklearn-bundled extras (diabetes round 2, linnerud round 4)
     assert set(UCI_DATASETS) == {
         "diabetes",
         "boston",
@@ -53,6 +53,7 @@ def test_uci_registry_complete():
         "kin8nm",
         "naval",
         "protein",
+        "linnerud",
     }
 
 
@@ -118,3 +119,11 @@ def test_sklearn_classification_loaders_real_offline():
 
     with pytest.raises(ValueError):
         load_sklearn_classification("nope")
+
+
+def test_linnerud_loads_multi_output():
+    from whvi_tpu.data.uci import load_uci
+
+    X, y = load_uci("linnerud")
+    assert X.shape == (20, 3) and y.shape == (20, 3)
+    assert np.isfinite(X).all() and np.isfinite(y).all()

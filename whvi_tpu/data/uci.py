@@ -130,6 +130,17 @@ def load_diabetes_sk():
     return d.data.astype(np.float32), d.target.astype(np.float32)[:, None]
 
 
+def load_linnerud_sk():
+    """Linnerud exercise physiology: 20 x 3 -> 3. Tiny, but REAL
+    multi-output regression bundled with scikit-learn — the only
+    offline real dataset here exercising n_out > 2 end-to-end (energy
+    has 2 targets). Targets: weight, waist, pulse."""
+    from sklearn.datasets import load_linnerud
+
+    d = load_linnerud()
+    return d.data.astype(np.float32), d.target.astype(np.float32)
+
+
 UCI_DATASETS = {
     "boston": load_boston,
     "concrete": load_concrete,
@@ -138,8 +149,9 @@ UCI_DATASETS = {
     "kin8nm": load_kin8nm,
     "naval": load_naval,
     "protein": load_protein,
-    # real offline extra (not in the reference's six)
+    # real offline extras (not in the reference's six)
     "diabetes": load_diabetes_sk,
+    "linnerud": load_linnerud_sk,
 }
 
 
