@@ -165,6 +165,16 @@ def main():
         train_samples=args.train_samples,
         eval_samples=args.eval_samples,
     )
+    # the calibration holdout must come out BEFORE the warmup math:
+    # steps_per_epoch feeds kl_warmup_steps, and a post-config holdout
+    # would stretch the warmup fraction past the configured 0.3
+    # (round-4 review #4)
+    X_cal = y_cal = None
+    if args.calibrate:
+        n_cal = max(1, len(X_tr) // 10)
+        X_cal, y_cal = X_tr[:n_cal], y_tr[:n_cal]
+        X_tr, y_tr = X_tr[n_cal:], y_tr[n_cal:]
+
     total = args.epochs1 + args.epochs2
     steps_per_epoch = -(-len(X_tr) // args.batch)
     cfg = TrainConfig(
@@ -176,12 +186,6 @@ def main():
     )
     trainer = Trainer(net, cfg)
     state = trainer.init(jax.random.PRNGKey(args.seed))
-
-    X_cal = y_cal = None
-    if args.calibrate:
-        n_cal = max(1, len(X_tr) // 10)
-        X_cal, y_cal = X_tr[:n_cal], y_tr[:n_cal]
-        X_tr, y_tr = X_tr[n_cal:], y_tr[n_cal:]
 
     t0 = time.time()
     state, logs = trainer.fit(
@@ -206,6 +210,7 @@ def main():
         from whvi_tpu.calibration import (
             expected_calibration_error,
             fit_logit_temperature,
+            tempered_mc_probs,
         )
 
         logits_fn = jax.jit(
@@ -218,13 +223,7 @@ def main():
             logits_fn(state.params, jnp.asarray(X_te), jax.random.PRNGKey(4))
         )
         tau = fit_logit_temperature(cal_logits, y_cal)
-
-        def probs(logits, t):
-            z = logits / t
-            z = z - z.max(axis=-1, keepdims=True)
-            p = np.exp(z)
-            p /= p.sum(axis=-1, keepdims=True)
-            return p.mean(axis=0)
+        probs = tempered_mc_probs  # the SAME mixture the fit used
 
         def nll(p):
             return float(

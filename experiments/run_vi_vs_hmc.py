@@ -467,7 +467,9 @@ def mixed_lambda_tier(
         if mass:
             # adapted inverse-mass scale per layer: should track the
             # ~550x posterior scale split
-            m_inv = np.asarray(stats["inv_mass"])  # (chains, dim)
+            m_inv = np.asarray(stats["inv_mass"])  # (chains, dim[, dim])
+            if m_inv.ndim == 3:  # dense metric: per-layer DIAGONAL
+                m_inv = np.diagonal(m_inv, axis1=1, axis2=2)
             sizes = [int(np.prod(params["layers"][i]["g_mu"].shape))
                      for i in bayes_i]
             off = 0

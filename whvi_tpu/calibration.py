@@ -33,6 +33,7 @@ __all__ = [
     "table_from_z",
     "expected_calibration_error",
     "fit_logit_temperature",
+    "tempered_mc_probs",
     "DEFAULT_LEVELS",
 ]
 
@@ -112,6 +113,19 @@ def table_from_z(z: np.ndarray, levels=DEFAULT_LEVELS) -> list[dict]:
     ]
 
 
+def tempered_mc_probs(logits: np.ndarray, t: float) -> np.ndarray:
+    """Posterior-predictive class probabilities at temperature ``t``:
+    ``mean_S softmax(logits_s / t)`` for MC logit samples ``(S, N, C)``.
+    The ONE implementation shared by the temperature fit and every
+    eval-time consumer — temper-then-mix order is part of the fitted
+    tau's meaning (round-4 review #8)."""
+    z = np.asarray(logits, np.float64) / t
+    z = z - z.max(axis=-1, keepdims=True)
+    p = np.exp(z)
+    p /= p.sum(axis=-1, keepdims=True)
+    return p.mean(axis=0)
+
+
 def expected_calibration_error(
     probs: np.ndarray, labels: np.ndarray, n_bins: int = 15
 ) -> float:
@@ -163,12 +177,7 @@ def fit_logit_temperature(
         # so the sharp end matters as much as the soft end
         taus = np.exp(np.linspace(np.log(0.05), np.log(20.0), 81))
 
-    def probs(t):
-        z = logits / t
-        z = z - z.max(axis=-1, keepdims=True)
-        p = np.exp(z)
-        p /= p.sum(axis=-1, keepdims=True)
-        return p.mean(axis=0)  # (N, C)
+    probs = lambda t: tempered_mc_probs(logits, t)
 
     if objective == "nll":
         score = lambda t: -np.mean(

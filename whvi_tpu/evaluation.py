@@ -283,6 +283,13 @@ def evaluate_bayesian_regression(
         if isinstance(config.vmap_splits, bool)
         else mesh is None
     )
+    if split_mesh is not None and not use_vmap:
+        # loud like Trainer: a silently-dropped split_mesh would run
+        # the protocol sequentially on one device (round-4 review #6)
+        raise ValueError(
+            "split_mesh requires the vmapped-splits protocol (don't "
+            "combine it with mesh= or vmap_splits=False)"
+        )
     trainer = Trainer(
         net,
         tcfg,
@@ -291,7 +298,7 @@ def evaluate_bayesian_regression(
         # single-axis ("split",) mesh: shard the vmapped replica axis
         # across devices (pure jit annotations, zero collectives);
         # n_splits must be a multiple of its device count
-        split_mesh=split_mesh if use_vmap else None,
+        split_mesh=split_mesh,
     )
     # one jitted predict shared by the heteroscedastic/normalize-y
     # metric fallbacks below (was a fresh jit(lambda) per split)
@@ -377,19 +384,25 @@ def evaluate_bayesian_regression(
         metrics = trainer.evaluate(
             state.params, X_te, y_te_fit, jax.random.PRNGKey(split)
         )
-        if config.heteroscedastic and "rmse" not in metrics:
-            y_hat = predict_fn(
+        # ONE test-set forward pass shared by the hetero-rmse fallback,
+        # normalize-y conversion and calibration (same fix as the
+        # vmapped path — each is a remote program dispatch)
+        y_hat_te = None
+        if config.calibrate or config.normalize_y or (
+            config.heteroscedastic and "rmse" not in metrics
+        ):
+            y_hat_te = predict_fn(
                 state.params, jnp.asarray(X_te), jax.random.PRNGKey(split)
             )
-            mean, _ = net.likelihood.split(y_hat)
+        if config.heteroscedastic and "rmse" not in metrics:
+            mean, _ = net.likelihood.split(y_hat_te)
             pred = np.asarray(jnp.mean(mean, axis=0))
             metrics["rmse"] = float(
                 np.sqrt(np.mean((pred - np.asarray(y_te_fit)) ** 2))
             )
         if config.normalize_y:
             # convert normalized-unit metrics back to original units
-            key = jax.random.PRNGKey(split)
-            y_hat = predict_fn(state.params, jnp.asarray(X_te), key)
+            y_hat = y_hat_te
             if config.heteroscedastic:
                 y_hat, _ = net.likelihood.split(y_hat)
             y_hat_orig = np.asarray(y_hat) * sd_y[None] + mu_y[None]
@@ -439,9 +452,6 @@ def evaluate_bayesian_regression(
                 jax.random.PRNGKey(100000 + split),
             )
             m_c, s_c = moments_fn(state.params["likelihood"], y_hat_cal)
-            y_hat_te = predict_fn(
-                state.params, jnp.asarray(X_te), jax.random.PRNGKey(split)
-            )
             m_t, s_t = moments_fn(state.params["likelihood"], y_hat_te)
             tau, cov_cal, z_te = _split_calibration(
                 d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t,
@@ -472,10 +482,13 @@ def _split_calibration(y_cal, m_c, s_c, y_te, m_t, s_t, mode="quantile"):
         else calibration.fit_temperature
     )
     tau = fit(np.asarray(y_cal), np.asarray(m_c), np.asarray(s_c))
-    z = (
-        np.asarray(y_te, np.float64) - np.asarray(m_t, np.float64)
-    ) / np.maximum(np.asarray(s_t, np.float64), 1e-12)
-    cov = float(np.mean(np.abs(z) <= 1.9599639845400545 * tau))
+    z = calibration._z(
+        np.asarray(y_te), np.asarray(m_t), np.asarray(s_t)
+    )
+    cov = calibration.coverage(
+        np.asarray(y_te), np.asarray(m_t), np.asarray(s_t),
+        level=0.95, tau=tau,
+    )
     return tau, cov, z.reshape(-1)
 
 

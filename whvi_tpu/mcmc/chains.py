@@ -23,6 +23,15 @@ import jax.numpy as jnp
 
 __all__ = ["run_chains", "jittered_inits"]
 
+# jitted-driver cache: jax's trace cache is keyed on FUNCTION IDENTITY,
+# and run_chains used to build a fresh closure + jax.jit wrapper per
+# call — so even back-to-back identical calls re-traced and re-compiled
+# the whole sampler (round-4 review: the mixed-lambda study's "warm"
+# timing run silently included a full remote compile). Key on the
+# (sampler, target, config, mesh) identity; bounded FIFO.
+_JIT_CACHE: dict = {}
+_JIT_CACHE_MAX = 32
+
 
 def jittered_inits(
     init_position: Any, key: jax.Array, n_chains: int, jitter: float
@@ -77,38 +86,49 @@ def run_chains(
         inits = jittered_inits(init_position, k_init, n_chains, jitter)
     run_keys = jax.random.split(k_run, n_chains)
 
-    def local(q0, k):
-        return jax.vmap(
-            lambda q, kk: sample_fn(log_prob_fn, q, kk, config)
-        )(q0, k)
+    cache_key = (sample_fn, log_prob_fn, config, mesh, n_chains)
+    jitted = _JIT_CACHE.get(cache_key)
+    if jitted is None:
 
-    # jit the whole chain program: without it, vmap's batching
-    # interpreter dispatches every sampler primitive eagerly — harmless
-    # on CPU, catastrophic on remote TPU backends (~0.5-1 s per op).
-    if mesh is None:
-        return jax.jit(local)(inits, run_keys)
+        def local(q0, k):
+            return jax.vmap(
+                lambda q, kk: sample_fn(log_prob_fn, q, kk, config)
+            )(q0, k)
 
-    from jax.sharding import PartitionSpec as P
+        # jit the whole chain program: without it, vmap's batching
+        # interpreter dispatches every sampler primitive eagerly —
+        # harmless on CPU, catastrophic on remote TPU backends
+        # (~0.5-1 s per op).
+        if mesh is None:
+            jitted = jax.jit(local)
+        else:
+            from jax.sharding import PartitionSpec as P
 
-    axes = tuple(mesh.axis_names)
-    n_dev = mesh.devices.size
-    if n_chains % n_dev:
-        raise ValueError(
-            f"n_chains={n_chains} must be a multiple of the mesh "
-            f"device count {n_dev} to shard the chain axis"
-        )
-    spec = P(axes)  # chain axis split over every mesh axis
-    # check_vma off: the sampler's scan carries start from replicated
-    # config constants and become chain-varying on the first draw; the
-    # vma checker rejects that transition inside scan. There are no
-    # collectives in this shard_map (chains are independent), so the
-    # checker has nothing to verify — per-chain equality with the
-    # vmapped path is asserted directly in tests/test_mcmc_sharded.py.
-    sharded = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(spec, spec),
-        out_specs=spec,
-        check_vma=False,
-    )
-    return jax.jit(sharded)(inits, run_keys)
+            axes = tuple(mesh.axis_names)
+            n_dev = mesh.devices.size
+            if n_chains % n_dev:
+                raise ValueError(
+                    f"n_chains={n_chains} must be a multiple of the "
+                    f"mesh device count {n_dev} to shard the chain axis"
+                )
+            spec = P(axes)  # chain axis split over every mesh axis
+            # check_vma off: the sampler's scan carries start from
+            # replicated config constants and become chain-varying on
+            # the first draw; the vma checker rejects that transition
+            # inside scan. There are no collectives in this shard_map
+            # (chains are independent), so the checker has nothing to
+            # verify — per-chain equality with the vmapped path is
+            # asserted directly in tests/test_mcmc_sharded.py.
+            jitted = jax.jit(
+                jax.shard_map(
+                    local,
+                    mesh=mesh,
+                    in_specs=(spec, spec),
+                    out_specs=spec,
+                    check_vma=False,
+                )
+            )
+        if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+        _JIT_CACHE[cache_key] = jitted
+    return jitted(inits, run_keys)

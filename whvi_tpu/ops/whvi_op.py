@@ -102,7 +102,16 @@ def _any_batched(*arrays) -> bool:
             if nxt is None:
                 nxt = getattr(a, "val", None)
             if nxt is None:
-                return False
+                # an opaque tracer (e.g. DynamicJaxprTracer under jit):
+                # vmap-of-jit traces the jitted body with plain jaxpr
+                # tracers carrying NO batching evidence, so a tracer we
+                # cannot positively classify must be treated as batched
+                # (fail closed — round-4 review #5). Consequence: the
+                # "auto" Pallas dispatch can only fire on EAGER direct
+                # calls with concrete operands; a future measured-win
+                # shape inside jit needs an explicit opt-in mechanism,
+                # which is the right bar given the vmapped-Pallas cost.
+                return True
             a = nxt
             seen += 1
         return isinstance(a, BatchTracer)
