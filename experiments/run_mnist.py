@@ -171,6 +171,11 @@ def main():
     # (round-4 review #4)
     X_cal = y_cal = None
     if args.calibrate:
+        # seeded reshuffle first: the digits/wine loaders shuffle, but
+        # the raw MNIST IDX path keeps file order, so a head-slice
+        # holdout could be unrepresentative (round-4 advisor finding)
+        perm = np.random.RandomState(args.seed).permutation(len(X_tr))
+        X_tr, y_tr = X_tr[perm], y_tr[perm]
         n_cal = max(1, len(X_tr) // 10)
         X_cal, y_cal = X_tr[:n_cal], y_tr[:n_cal]
         X_tr, y_tr = X_tr[n_cal:], y_tr[n_cal:]
@@ -222,7 +227,8 @@ def main():
         te_logits = np.asarray(
             logits_fn(state.params, jnp.asarray(X_te), jax.random.PRNGKey(4))
         )
-        tau = fit_logit_temperature(cal_logits, y_cal)
+        fit = fit_logit_temperature(cal_logits, y_cal, return_info=True)
+        tau = fit["tau"]
         probs = tempered_mc_probs  # the SAME mixture the fit used
 
         def nll(p):
@@ -234,6 +240,9 @@ def main():
 
         p_raw, p_cal = probs(te_logits, 1.0), probs(te_logits, tau)
         out["logit_temperature"] = round(tau, 3)
+        out["tau_at_edge"] = bool(fit["tau_at_edge"])
+        if fit["tau_at_edge"]:
+            out["logit_temperature_raw"] = round(fit["tau_raw"], 3)
         out["test_nll_raw"] = round(nll(p_raw), 4)
         out["test_nll_cal"] = round(nll(p_cal), 4)
         out["test_ece_raw"] = round(

@@ -183,6 +183,88 @@ def test_protocol_calibrate_with_normalize_y_and_hetero():
     assert np.isfinite(out_vm["temperature_mean"])
 
 
+def test_quantile_tiny_calib_set_falls_back_to_ml():
+    # linnerud-class case: n_cal=2 -> the 0.95 quantile IS the sample
+    # max; the fit must warn and fall back to the closed-form ML tau
+    from whvi_tpu.calibration import (
+        fit_temperature,
+        fit_temperature_quantile,
+    )
+
+    y = np.array([0.1, -0.4])
+    mean = np.zeros(2)
+    sd = np.ones(2)
+    with pytest.warns(UserWarning, match="falling back to the ML tau"):
+        tau = fit_temperature_quantile(y, mean, sd)
+    assert tau == pytest.approx(fit_temperature(y, mean, sd))
+
+
+def test_protocol_calib_pooled_shares_one_tau():
+    X, y = _data()
+    base = dict(
+        n_splits=3,
+        epochs1=0,
+        epochs2=15,
+        hidden=(8,),
+        checkpoint_every=0,
+        kl_warmup_frac=0.0,
+        calibrate=True,
+        calib_frac=0.2,
+    )
+    out = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, calib_pooled=True)
+    )
+    taus = [r["temperature"] for r in out["splits"]]
+    assert len(set(taus)) == 1  # one shared tau
+    assert out["calib_pooled"] is True
+    assert out["temperature_sd"] == 0.0
+    # per-split mode generically differs across splits
+    out_ps = evaluate_bayesian_regression(
+        X, y, ProtocolConfig(**base, calib_pooled=False)
+    )
+    taus_ps = [r["temperature"] for r in out_ps["splits"]]
+    assert len(set(taus_ps)) > 1
+    # both protocol paths agree under pooling too
+    out_seq = evaluate_bayesian_regression(
+        X,
+        y,
+        ProtocolConfig(**base, calib_pooled=True, vmap_splits=False),
+    )
+    for a, b in zip(out["splits"], out_seq["splits"]):
+        np.testing.assert_allclose(
+            a["temperature"], b["temperature"], rtol=1e-5
+        )
+
+
+def test_logit_temperature_grid_edge_guard():
+    from whvi_tpu.calibration import fit_logit_temperature
+
+    rng = np.random.RandomState(7)
+    n, C = 400, 4
+    labels = rng.randint(0, C, size=n)
+    # perfectly separable logits: in-sample NLL rewards sharpening
+    # without bound -> argmin at the sharp grid edge -> refuse + flag
+    logits = np.full((1, n, C), -4.0)
+    logits[0, np.arange(n), labels] = 4.0
+    with pytest.warns(UserWarning, match="grid edge"):
+        info = fit_logit_temperature(
+            logits, labels, objective="nll", return_info=True
+        )
+    assert info["tau_at_edge"] is True
+    assert info["tau"] == 1.0
+    assert info["tau_raw"] != 1.0
+    # interior optimum keeps the fitted value and stays un-flagged
+    true_logits = rng.randn(5000, C) * 2.0
+    p_true = np.exp(true_logits)
+    p_true /= p_true.sum(axis=1, keepdims=True)
+    labels2 = np.array([rng.choice(C, p=p) for p in p_true])
+    info2 = fit_logit_temperature(
+        true_logits[None] * 3.0, labels2, return_info=True
+    )
+    assert info2["tau_at_edge"] is False
+    assert 2.0 < info2["tau"] < 4.5
+
+
 def test_ece_and_logit_temperature():
     from whvi_tpu.calibration import (
         expected_calibration_error,

@@ -28,6 +28,7 @@ import numpy as np
 __all__ = [
     "fit_temperature",
     "fit_temperature_quantile",
+    "fit_temperature_from_z",
     "coverage",
     "reliability_table",
     "table_from_z",
@@ -71,12 +72,44 @@ def fit_temperature_quantile(
     non-Gaussian or the calib set is small — measured on yacht: raw
     coverage 0.984, ML tau 0.54 overshot to 0.871), this targets the
     reported metric directly. Noisier on tiny calib sets (it is one
-    order statistic), but unbiased for the coverage it calibrates."""
+    order statistic), but unbiased for the coverage it calibrates.
+
+    Tiny-set guard: with fewer than ``ceil(1 / (1 - level))`` points
+    the level quantile IS the sample max (linnerud: n_cal = 2, tau =
+    max|z|/1.96 — arbitrary noise), so this falls back to the ML tau
+    with a warning. Pooling calib z-scores across protocol splits
+    (``ProtocolConfig.calib_pooled``) is the real fix for small sets.
+    """
+    z = _z(y, mean, sd).reshape(-1)
+    return fit_temperature_from_z(z, mode="quantile", level=level)
+
+
+def fit_temperature_from_z(
+    z: np.ndarray, mode: str = "quantile", level: float = 0.95
+) -> float:
+    """Temperature from already-standardized residuals ``z = (y - m)/s``
+    — the shared core of the per-split and cross-split-pooled fits
+    (``z`` is scale-free, so pooling across splits is exact).
+    ``mode``: "quantile" (coverage-matched, with the tiny-set ML
+    fallback) or "nll" (closed-form Gaussian-ML)."""
     from scipy.stats import norm
 
-    z = np.abs(_z(y, mean, sd)).reshape(-1)
-    zcrit = norm.ppf(0.5 + level / 2.0)
-    return float(np.quantile(z, level) / zcrit)
+    z = np.asarray(z, np.float64).reshape(-1)
+    if mode == "quantile":
+        n_min = int(np.ceil(1.0 / max(1.0 - level, 1e-9)))
+        if z.size < n_min:
+            import warnings
+
+            warnings.warn(
+                f"quantile temperature needs >= {n_min} calibration "
+                f"points at level {level} (got {z.size}: the quantile "
+                "is the sample max); falling back to the ML tau",
+                stacklevel=2,
+            )
+        else:
+            zcrit = norm.ppf(0.5 + level / 2.0)
+            return float(np.quantile(np.abs(z), level) / zcrit)
+    return float(np.sqrt(np.mean(np.square(z))))
 
 
 def coverage(
@@ -155,7 +188,8 @@ def fit_logit_temperature(
     labels: np.ndarray,
     taus=None,
     objective: str = "ece",
-) -> float:
+    return_info: bool = False,
+):
     """Classification temperature: scalar T fitted on the calibration
     set over a log-spaced grid, applied as ``mean_S softmax(logits_s /
     T)`` (T composes with the MC mixture rather than replacing it —
@@ -168,6 +202,15 @@ def fit_logit_temperature(
     calib set always rewards sharpening in-sample) and WORSENS test NLL
     0.124 -> 0.170, while ECE-tau picks an interior optimum
     (`sweeps/r4_w1024_cal2.log`).
+
+    Grid-edge guard (round-4 VERDICT weak #3): an argmin on either end
+    of the grid is not an optimum — it is the objective still improving
+    monotonically as the grid runs out (measured: the w1024 digits
+    ECE-tau landed on the 0.05 edge and worsened test NLL 0.124 ->
+    0.163). An edge argmin therefore REFUSES the fit: the returned tau
+    is 1.0 (identity) and the fit is flagged. ``return_info=True``
+    returns ``{"tau", "tau_raw", "tau_at_edge"}`` so callers can
+    surface the flag (run_mnist.py reports it in the run JSON).
     """
     logits = np.asarray(logits, np.float64)
     labels = np.asarray(labels).reshape(-1)
@@ -186,7 +229,22 @@ def fit_logit_temperature(
     else:
         score = lambda t: expected_calibration_error(probs(t), labels)
     vals = [score(t) for t in taus]
-    return float(taus[int(np.argmin(vals))])
+    best = int(np.argmin(vals))
+    tau_raw = float(taus[best])
+    at_edge = best in (0, len(taus) - 1)
+    tau = 1.0 if at_edge else tau_raw
+    if at_edge:
+        import warnings
+
+        warnings.warn(
+            f"logit-temperature argmin landed on the grid edge "
+            f"(tau={tau_raw:g}): no interior optimum on the calib set; "
+            "refusing the fit (tau=1.0)",
+            stacklevel=2,
+        )
+    if return_info:
+        return {"tau": tau, "tau_raw": tau_raw, "tau_at_edge": at_edge}
+    return tau
 
 
 def reliability_table(

@@ -121,6 +121,13 @@ class ProtocolConfig:
     # coverage when the predictive is non-Gaussian / calib set is tiny;
     # measured on yacht: 0.984 raw -> 0.871 with ML tau)
     calib_mode: str = "quantile"
+    # Fit ONE temperature on all splits' pooled calibration z-scores
+    # instead of a per-split tau. z-scores are scale-free, so pooling
+    # is exact and gives the quantile fit 8x the data for one shared
+    # scalar — the per-split tau on yacht-sized sets is a single order
+    # statistic of ~30-50 points (coverage95_cal sd 0.085, round-4
+    # RESULTS; VERDICT round-4 weak #6).
+    calib_pooled: bool = False
     seed: int = 0
 
 
@@ -256,12 +263,27 @@ def evaluate_bayesian_regression(
         if config.heteroscedastic
         else 0,
     )
-    if config.calibrate and not hasattr(net.likelihood, "predict"):
-        raise ValueError(
-            "calibrate=True needs a likelihood with predictive moments "
-            "(.predict); got "
-            f"{type(net.likelihood).__name__}"
+    if config.calibrate:
+        # hasattr(likelihood, "predict") is NOT the contract: the
+        # categorical predict returns a single probs array, which would
+        # fail later with an opaque tuple-unpack at moments_fn instead
+        # of a clean error here (round-4 advisor finding). Calibration
+        # needs the Gaussian two-moment ``predict -> (mean, sd)``.
+        from whvi_tpu.models import (
+            GaussianLikelihood,
+            HeteroscedasticGaussianLikelihood,
         )
+
+        if not isinstance(
+            net.likelihood,
+            (GaussianLikelihood, HeteroscedasticGaussianLikelihood),
+        ):
+            raise ValueError(
+                "calibrate=True needs a Gaussian-family likelihood "
+                "whose .predict returns two-moment (mean, sd); got "
+                f"{type(net.likelihood).__name__} (classification "
+                "temperature lives in calibration.fit_logit_temperature)"
+            )
 
     if ckpt_dir:
         # Isolate checkpoints per protocol configuration: resume is on
@@ -363,8 +385,7 @@ def evaluate_bayesian_regression(
         )
 
     results = []
-    raw_z_pool: list = []
-    cal_z_pool: list = []
+    cal_inputs: list = []
     for split in range(config.n_splits):
         d = splits[split]
         X_tr, X_te = d["X_tr"], d["X_te"]
@@ -453,43 +474,75 @@ def evaluate_bayesian_regression(
             )
             m_c, s_c = moments_fn(state.params["likelihood"], y_hat_cal)
             m_t, s_t = moments_fn(state.params["likelihood"], y_hat_te)
-            tau, cov_cal, z_te = _split_calibration(
-                d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t,
-                mode=config.calib_mode,
+            cal_inputs.append(
+                (d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t)
             )
-            entry["temperature"] = tau
-            entry["coverage95_cal"] = cov_cal
-            raw_z_pool.append(z_te)
-            cal_z_pool.append(z_te / tau)
         results.append(entry)
         if log_fn:
+            # note: with calibrate + calib_pooled the temperature fields
+            # are attached AFTER the split loop (pooling needs every
+            # split's calib z-scores), so they are absent from streamed
+            # per-split log entries; the returned `splits` have them.
             log_fn(entry)
 
-    out = _aggregate(results)
+    cal = None
     if config.calibrate:
-        _attach_reliability(out, raw_z_pool, cal_z_pool)
+        cal = _calibrate_splits(cal_inputs, config)
+        for entry, (tau, cov_cal, _) in zip(results, cal):
+            entry["temperature"] = tau
+            entry["coverage95_cal"] = cov_cal
+    out = _aggregate(results)
+    if cal is not None:
+        _attach_reliability(
+            out,
+            [z for _, _, z in cal],
+            [z / tau for tau, _, z in cal],
+        )
+        out["calib_pooled"] = bool(config.calib_pooled)
     return out
 
 
-def _split_calibration(y_cal, m_c, s_c, y_te, m_t, s_t, mode="quantile"):
-    """Fit the temperature on the calibration moments and score the test
-    set: returns ``(tau, tempered coverage95, raw test z-scores)``."""
+def _calibrate_splits(cal_inputs: list, config) -> list:
+    """Fit temperatures and score test sets for every split.
+
+    ``cal_inputs``: per-split ``(y_cal, m_c, s_c, y_te, m_t, s_t)``
+    moment tuples. Returns ``[(tau, tempered coverage95, raw test
+    z-scores), ...]``. With ``config.calib_pooled`` ONE tau is fitted
+    on the concatenated calib z-scores of all splits (z is scale-free,
+    so cross-split pooling is exact — 8x the data for one shared
+    scalar; cuts the single-order-statistic variance of the quantile
+    tau on small datasets, round-4 VERDICT weak #6)."""
+    from scipy.stats import norm
+
     from whvi_tpu import calibration
 
-    fit = (
-        calibration.fit_temperature_quantile
-        if mode == "quantile"
-        else calibration.fit_temperature
-    )
-    tau = fit(np.asarray(y_cal), np.asarray(m_c), np.asarray(s_c))
-    z = calibration._z(
-        np.asarray(y_te), np.asarray(m_t), np.asarray(s_t)
-    )
-    cov = calibration.coverage(
-        np.asarray(y_te), np.asarray(m_t), np.asarray(s_t),
-        level=0.95, tau=tau,
-    )
-    return tau, cov, z.reshape(-1)
+    z_cals = [
+        calibration._z(
+            np.asarray(y_c), np.asarray(m_c), np.asarray(s_c)
+        ).reshape(-1)
+        for y_c, m_c, s_c, _, _, _ in cal_inputs
+    ]
+    z_tes = [
+        calibration._z(
+            np.asarray(y_t), np.asarray(m_t), np.asarray(s_t)
+        ).reshape(-1)
+        for _, _, _, y_t, m_t, s_t in cal_inputs
+    ]
+    if config.calib_pooled:
+        tau = calibration.fit_temperature_from_z(
+            np.concatenate(z_cals), mode=config.calib_mode
+        )
+        taus = [tau] * len(cal_inputs)
+    else:
+        taus = [
+            calibration.fit_temperature_from_z(z, mode=config.calib_mode)
+            for z in z_cals
+        ]
+    zcrit = norm.ppf(0.975)
+    return [
+        (tau, float(np.mean(np.abs(z) <= zcrit * tau)), z)
+        for tau, z in zip(taus, z_tes)
+    ]
 
 
 def _attach_reliability(out: dict, raw_z_pool, cal_z_pool) -> None:
@@ -632,13 +685,13 @@ def _run_vmapped_protocol(
         )
         m_c, s_c = mom(state.params["likelihood"], y_hat_cal)
         m_t, s_t = mom(state.params["likelihood"], y_hat_te_full)
-        cal = [
-            _split_calibration(
-                ys_cal_fit[s], m_c[s], s_c[s], ys_te_fit[s], m_t[s], s_t[s],
-                mode=config.calib_mode,
-            )
-            for s in range(K)
-        ]
+        cal = _calibrate_splits(
+            [
+                (ys_cal_fit[s], m_c[s], s_c[s], ys_te_fit[s], m_t[s], s_t[s])
+                for s in range(K)
+            ],
+            config,
+        )
 
     results = []
     for s in range(K):
@@ -647,9 +700,14 @@ def _run_vmapped_protocol(
             "rmse": float(metrics["rmse"][s]),
             "mnll": float(metrics["mnll"][s]),
             "mnll_per_point": float(metrics["mnll_per_point"][s]),
-            # amortized: the whole stack trained together in `wall`
-            "wall_s": wall / K,
-            "epochs_per_s": total / max(wall / K, 1e-9),
+            # AMORTIZED, and named so: the whole K-replica stack trained
+            # together in `wall` seconds, so `wall / K` is a per-split
+            # share, NOT any replica's real wall clock — a consumer
+            # comparing against a sequential run's `epochs_per_s` would
+            # be comparing different units (round-4 VERDICT weak #7).
+            # The true stack wall is `protocol_wall_s` on the aggregate.
+            "wall_s_amortized": wall / K,
+            "epochs_per_s_amortized": total / max(wall / K, 1e-9),
         }
         if "pred_mnll_per_point" in metrics:
             entry["pred_mnll_per_point"] = float(
@@ -671,6 +729,7 @@ def _run_vmapped_protocol(
             [z for _, _, z in cal],
             [z / tau for tau, _, z in cal],
         )
+        out["calib_pooled"] = bool(config.calib_pooled)
     out["vmapped_splits"] = True
     out["protocol_wall_s"] = wall
     return out

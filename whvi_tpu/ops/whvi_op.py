@@ -155,7 +155,13 @@ def whvi_mul(
             jnp.ndim(s2) == 1 and x.ndim >= 1 and pallas_supported(D)
         )
         if eligible and _BACKEND == "auto":
-            eligible = _auto_uses_pallas(
+            # Short-circuit on the dispatch table BEFORE the batching
+            # probe: _any_batched walks private BatchTracer internals,
+            # so the hot default path must not pay its cost (or carry
+            # its jax-version fragility) when the table — currently
+            # pinned empty — makes the answer irrelevant (round-4
+            # advisor finding).
+            eligible = D in _PALLAS_AUTO_SHAPES and _auto_uses_pallas(
                 D,
                 batched=_any_batched(s1, u, s2, x),
                 on_tpu=jax.default_backend() == "tpu",
