@@ -1,3 +1,4 @@
+from whvi_tpu.mcmc.chains import StructuredLogProb
 from whvi_tpu.mcmc.diagnostics import ess, split_rhat, summarize
 from whvi_tpu.mcmc.hmc import (
     HMCConfig,
@@ -11,6 +12,7 @@ from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample, nuts_sample_chains
 __all__ = [
     "HMCConfig",
     "NUTSConfig",
+    "StructuredLogProb",
     "ess",
     "hmc_sample",
     "hmc_sample_chains",

@@ -21,16 +21,58 @@ from typing import Any, Callable
 import jax
 import jax.numpy as jnp
 
-__all__ = ["run_chains", "jittered_inits"]
+__all__ = ["run_chains", "jittered_inits", "StructuredLogProb"]
 
 # jitted-driver cache: jax's trace cache is keyed on FUNCTION IDENTITY,
 # and run_chains used to build a fresh closure + jax.jit wrapper per
 # call — so even back-to-back identical calls re-traced and re-compiled
 # the whole sampler (round-4 review: the mixed-lambda study's "warm"
 # timing run silently included a full remote compile). Key on the
-# (sampler, target, config, mesh) identity; bounded FIFO.
+# (sampler, target, config, mesh) identity — or, for StructuredLogProb
+# targets, on target STRUCTURE (fn identity + static aux + data
+# shapes/dtypes), so freshly-built closures over the same model hit the
+# cache too (round-4 VERDICT weak #4). Bounded FIFO.
 _JIT_CACHE: dict = {}
 _JIT_CACHE_MAX = 32
+
+
+class StructuredLogProb:
+    """A log density with its array data split from its code.
+
+    ``fn(static, data, position)`` must be a stable (module-level)
+    function; ``static`` is hashable auxiliary structure (e.g. the
+    frozen network description); ``data`` is a pytree of arrays.
+    Instances are callable like any log-prob: ``lp(position)``.
+
+    Why this exists: ``run_chains`` keys its jitted-driver cache on the
+    log-prob. A plain closure is keyed by OBJECT IDENTITY, so the
+    natural pattern — rebuild ``make_whvi_g_log_posterior(net, params,
+    X, y)`` before each call — silently recompiles the entire sampler
+    every time (the exact 165-vs-21,800 draws/s footgun round 4
+    diagnosed). A StructuredLogProb is keyed on ``(fn, static, data
+    structure + shapes/dtypes)`` and its ``data`` is passed as an
+    ARGUMENT to the jitted driver rather than baked in as constants, so
+    structurally-identical rebuilds compile once — and the same
+    compiled sampler is even reused across different data values of the
+    same shape.
+    """
+
+    __slots__ = ("fn", "static", "data")
+
+    def __init__(self, fn: Callable, data: Any, static: Any = None):
+        self.fn = fn
+        self.static = static
+        self.data = data
+
+    def __call__(self, position):
+        return self.fn(self.static, self.data, position)
+
+    def structure_key(self):
+        leaves, treedef = jax.tree.flatten(self.data)
+        sig = tuple(
+            (tuple(l.shape), jnp.asarray(l).dtype.name) for l in leaves
+        )
+        return (self.fn, self.static, treedef, sig)
 
 
 def jittered_inits(
@@ -86,14 +128,37 @@ def run_chains(
         inits = jittered_inits(init_position, k_init, n_chains, jitter)
     run_keys = jax.random.split(k_run, n_chains)
 
-    cache_key = (sample_fn, log_prob_fn, config, mesh, n_chains)
+    structured = isinstance(log_prob_fn, StructuredLogProb)
+    if structured:
+        cache_key = (
+            sample_fn,
+            log_prob_fn.structure_key(),
+            config,
+            mesh,
+            n_chains,
+        )
+    else:
+        cache_key = (sample_fn, log_prob_fn, config, mesh, n_chains)
     jitted = _JIT_CACHE.get(cache_key)
     if jitted is None:
+        if structured:
+            # close over code/static only; the array data arrives as a
+            # jit ARGUMENT (no constants baked in, so the compiled
+            # driver is valid for any same-shaped data)
+            lp_fn, lp_static = log_prob_fn.fn, log_prob_fn.static
 
-        def local(q0, k):
-            return jax.vmap(
-                lambda q, kk: sample_fn(log_prob_fn, q, kk, config)
-            )(q0, k)
+            def local(data, q0, k):
+                lp = lambda pos: lp_fn(lp_static, data, pos)
+                return jax.vmap(
+                    lambda q, kk: sample_fn(lp, q, kk, config)
+                )(q0, k)
+
+        else:
+
+            def local(q0, k):
+                return jax.vmap(
+                    lambda q, kk: sample_fn(log_prob_fn, q, kk, config)
+                )(q0, k)
 
         # jit the whole chain program: without it, vmap's batching
         # interpreter dispatches every sampler primitive eagerly —
@@ -119,11 +184,14 @@ def run_chains(
             # (chains are independent), so the checker has nothing to
             # verify — per-chain equality with the vmapped path is
             # asserted directly in tests/test_mcmc_sharded.py.
+            in_specs = (
+                (P(), spec, spec) if structured else (spec, spec)
+            )  # log-prob data replicated on every device
             jitted = jax.jit(
                 jax.shard_map(
                     local,
                     mesh=mesh,
-                    in_specs=(spec, spec),
+                    in_specs=in_specs,
                     out_specs=spec,
                     check_vma=False,
                 )
@@ -131,4 +199,6 @@ def run_chains(
         if len(_JIT_CACHE) >= _JIT_CACHE_MAX:
             _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
         _JIT_CACHE[cache_key] = jitted
+    if structured:
+        return jitted(log_prob_fn.data, inits, run_keys)
     return jitted(inits, run_keys)
