@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--epochs1", type=int, default=500)
     ap.add_argument("--epochs2", type=int, default=50000)
     ap.add_argument("--splits", type=int, default=1)
+    ap.add_argument(
+        "--configs",
+        type=int,
+        default=0,
+        help="stack N configs on top of the split axis (a sigma0 x "
+        "lambda_hidden spread) and run the whole splits x configs grid "
+        "as ONE fit via evaluate_config_grid — the round-5 protocol-"
+        "utilization lever (replica axis n_splits -> N * n_splits)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -95,9 +104,25 @@ def main():
     total_epochs = args.epochs1 + args.epochs2
 
     t0 = time.time()
-    out = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=None)
+    if args.configs:
+        from whvi_tpu.evaluation import evaluate_config_grid
+
+        # a realistic tuning spread: sigma0 x lambda_hidden variations
+        # around the recipe (what a sweep actually runs)
+        sig = [0.05, 0.1, 0.2, 0.4]
+        lam = [1.0, 3.0, 10.0]
+        overrides = [
+            {"sigma0": sig[i % len(sig)], "lambda_hidden": lam[i % len(lam)]}
+            for i in range(args.configs)
+        ]
+        grid = evaluate_config_grid(X, y, cfg, overrides)
+        out = grid["configs"][0]
+        n_replicas = args.configs * args.splits
+    else:
+        out = evaluate_bayesian_regression(X, y, cfg, ckpt_dir=None)
+        n_replicas = args.splits
     wall = time.time() - t0
-    eps = args.splits * total_epochs / wall
+    eps = n_replicas * total_epochs / wall
     flops_per_s = eps * batches * step_flops
     on_tpu = jax.default_backend() == "tpu"
     print(
@@ -107,9 +132,14 @@ def main():
                 "shape": [args.n, args.features],
                 "epochs": total_epochs,
                 "splits": args.splits,
+                "configs": args.configs or None,
+                "stack_replicas": n_replicas,
                 "rmse_mean": out["rmse_mean"],
                 "pred_mnll_mean": out.get("pred_mnll_per_point_mean"),
-                "wall_s_per_split": round(wall / args.splits, 1),
+                "wall_s": round(wall, 1),
+                "wall_s_per_replica_amortized": round(
+                    wall / n_replicas, 1
+                ),
                 "epochs_per_s": round(eps, 1),
                 "tflops": round(flops_per_s / 1e12, 2),
                 "mfu": round(flops_per_s / v5e_peak_flops(), 4)
@@ -117,7 +147,7 @@ def main():
                 else None,
                 "reference_wall_per_split_h": 35.0,
                 "speedup_vs_reference": round(
-                    35.0 * 3600.0 / (wall / args.splits), 1
+                    35.0 * 3600.0 / (wall / n_replicas), 1
                 ),
             }
         ),

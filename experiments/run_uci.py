@@ -128,6 +128,23 @@ def main():
         "Gaussian-ML (density-oriented)",
     )
     ap.add_argument(
+        "--calib-pooled",
+        action="store_true",
+        help="fit ONE temperature on all splits' pooled calib z-scores "
+        "(8x the data for one scalar; cuts the order-statistic "
+        "variance on small datasets)",
+    )
+    ap.add_argument(
+        "--grid",
+        default=None,
+        help="JSON list of config-override dicts — run the whole sweep "
+        "as ONE stacked protocol fit (n_configs x n_splits replicas in "
+        "one compiled program; evaluate_config_grid). Keys: sigma0, "
+        "lambda_hidden, lambda_last, lambda_noise, kl_warmup_frac, "
+        "noise_freeze_frac, seed. Example: --grid "
+        "'[{}, {\"lambda_noise\": 0.1}, {\"noise_freeze_frac\": 0}]'",
+    )
+    ap.add_argument(
         "--sequential-splits",
         action="store_true",
         help="train splits in the legacy sequential loop instead of the "
@@ -179,8 +196,27 @@ def main():
         calibrate=args.calibrate,
         calib_frac=args.calib_frac,
         calib_mode=args.calib_mode,
+        calib_pooled=args.calib_pooled,
     )
     log_fn = None if args.quiet else lambda e: print(json.dumps(e), flush=True)
+    if args.grid is not None:
+        from whvi_tpu.evaluation import evaluate_config_grid
+
+        overrides = json.loads(args.grid)
+        out = evaluate_config_grid(
+            X,
+            y,
+            cfg,
+            overrides,
+            ckpt_dir=args.ckpt_dir
+            or os.path.join("checkpoints", args.dataset),
+            log_fn=log_fn,
+        )
+        out["dataset"] = args.dataset
+        for c in out["configs"]:
+            c.pop("splits", None)
+        print(json.dumps(out))
+        return
     out = evaluate_bayesian_regression(
         X,
         y,

@@ -1,9 +1,8 @@
 """Golden-sampler validation study: VI vs HMC/NUTS vs exact posterior.
 
-Round-2 deliverable (VERDICT.md missing #3/#4): turn the "HMC validates
-VI" claim into a quantitative verdict with convergence diagnostics.
+Round-2 deliverable (VERDICT.md missing #3/#4), extended in rounds 4-5.
 
-Three tiers:
+Tiers:
 
 1. **Analytic tier** — a single square WHVI layer is LINEAR in ``g``:
    ``y = W(g) x = diag(s1) H diag(g) H (s2 * x) = M(x) g`` with
@@ -21,9 +20,24 @@ Three tiers:
        measured, theory-matched property of mean-field WHVI.
 2. **Nonlinear tier** — small WHVI MLP on a yacht subset (or synthetic
    fallback): 4-chain NUTS over the per-layer g posterior with R-hat /
-   ESS / divergence gates, then the per-layer VI-vs-NUTS moment table.
-3. Verdict JSON: every gate explicit (rhat_max < 1.01, ess_min > 100
-   per chain equivalent, divergences == 0).
+   ESS / divergence gates, the per-layer VI-vs-NUTS moment table, AND
+   (round 5) the symmetry-invariant FUNCTION-SPACE comparison:
+   posterior-predictive RMSE / MNLL on held-out rows computed from NUTS
+   draws (mode-local and over-dispersed starts) vs from VI draws.
+   Parameter-space moments of a ReLU posterior are corrupted by its
+   sign/permutation symmetries (measured mode-local mu_corr ~ 0.16);
+   the predictive is the quantity both inference engines actually claim
+   to get right, and it is invariant under those symmetries — the
+   over-dispersed-start NUTS row lands in DIFFERENT symmetry modes yet
+   must produce the same predictive.
+3. **Mixed-lambda study** — the flagship prior mix {3, 1e-5} (~550x
+   prior-scale ratio), SELF-DOCUMENTING (round-5 VERDICT weak #5): one
+   run emits BOTH the 8000-epoch row (mass adaptation passes all gates)
+   and the 12000-epoch row (the measured limitation: the over-trained
+   posterior defeats identity AND adapted metrics, ESS ~ 2), plus a
+   parallel-tempering arm on the failing posterior (mcmc.tempering) —
+   the standard escape for the mode-structure diagnosis, with swap-rate
+   evidence either way.
 
 Run:  python experiments/run_vi_vs_hmc.py [--cpu] [--out results.json]
 """
@@ -189,30 +203,121 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
     return out
 
 
-# ----------------------------------------------------------- nonlinear tier
+# ------------------------------------------------------------ shared helpers
 
 
-def nonlinear_tier(seed=0, n_train=64, epochs=20000):
-    """Small WHVI MLP: train VI, then 4-chain NUTS over the g posterior."""
-    from whvi_tpu.train import TrainConfig, Trainer
-
-    # data: yacht subset if available, else smooth synthetic
+def _load_subset(seed=0, n_train=64, n_test=0):
+    """Yacht subset (synthetic fallback): standardized train rows plus
+    ``n_test`` disjoint held-out rows from the same permutation."""
     try:
         from whvi_tpu.data.uci import load_uci
 
-        X, y = load_uci("yacht")
+        X_all, y_all = load_uci("yacht")
         rng = np.random.RandomState(seed)
-        idx = rng.permutation(len(X))[:n_train]
-        X = X[idx].astype(np.float32)
-        y = y[idx].astype(np.float32)[:, None]
-        X = (X - X.mean(0)) / (X.std(0) + 1e-8)
-        y = (y - y.mean(0)) / (y.std(0) + 1e-8)
+        idx = rng.permutation(len(X_all))
+        Xf = X_all[idx].astype(np.float32)
+        yf = y_all[idx].astype(np.float32)
+        yf = yf if yf.ndim > 1 else yf[:, None]
         source = "yacht"
     except Exception:
         rng = np.random.RandomState(seed)
-        X = rng.randn(n_train, 6).astype(np.float32)
-        y = np.sin(X.sum(1, keepdims=True)).astype(np.float32)
+        Xf = rng.randn(n_train + n_test, 6).astype(np.float32)
+        yf = np.sin(Xf.sum(1, keepdims=True)).astype(np.float32)
         source = "synthetic"
+    X, y = Xf[:n_train], yf[:n_train]
+    mu_x, sd_x = X.mean(0), X.std(0) + 1e-8
+    mu_y, sd_y = y.mean(0), y.std(0) + 1e-8
+    X = (X - mu_x) / sd_x
+    y = (y - mu_y) / sd_y
+    X_te = (Xf[n_train : n_train + n_test] - mu_x) / sd_x
+    y_te = (yf[n_train : n_train + n_test] - mu_y) / sd_y
+    return X, y, X_te, y_te, source
+
+
+def _q_draw_inits(params, bayes_i, n_chains, seed):
+    """Per-chain starts drawn from the trained q (mode-local protocol)."""
+    k_q = jax.random.split(jax.random.PRNGKey(seed + 11), n_chains)
+
+    def q_draw(k):
+        ks = jax.random.split(k, len(bayes_i))
+        out = {}
+        for kk, i in zip(ks, bayes_i):
+            lp = params["layers"][i]
+            sd = jax.nn.softplus(lp["g_rho"])
+            out[i] = lp["g_mu"] + sd * jax.random.normal(
+                kk, lp["g_mu"].shape
+            )
+        return out
+
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *[q_draw(k) for k in k_q])
+
+
+def _predictive_from_g_draws(net, params, X_te, y_te, samples, n_use=256):
+    """Posterior-predictive metrics on held-out rows from MCMC g draws.
+
+    ``samples``: dict {layer_index: (C, N, *g_shape)}. Thins the pooled
+    chain draws to ``n_use`` evenly spaced g's, runs the deterministic
+    forward (apply_given_g, all other params frozen) for each, and
+    scores with the same ``metrics_from_predictions`` the VI eval uses —
+    so the two predictives are computed by ONE code path. Every metric
+    here is invariant under the posterior's sign/permutation symmetries
+    (it only consumes function values), unlike parameter-space moments.
+    """
+    bayes_i = sorted(samples.keys())
+    flat = {
+        i: np.asarray(samples[i]).reshape(
+            (-1,) + tuple(np.asarray(samples[i]).shape[2:])
+        )
+        for i in bayes_i
+    }
+    total = flat[bayes_i[0]].shape[0]
+    sel = np.linspace(0, total - 1, min(n_use, total)).astype(int)
+    g_stack = {i: jnp.asarray(flat[i][sel]) for i in bayes_i}
+    X_te = jnp.asarray(X_te)
+
+    def fwd(gdict):
+        h = X_te
+        for i, layer in enumerate(net.layers):
+            p = params["layers"][i]
+            if i in samples:
+                h = layer.apply_given_g(p, h, gdict[i])
+            else:
+                h = layer.apply(p, h, jax.random.PRNGKey(0))
+        return h
+
+    y_hat = jax.jit(jax.vmap(fwd))(g_stack)  # (S, B, out)
+    m = net.metrics_from_predictions(params, jnp.asarray(y_te), y_hat)
+    return {k: float(v) for k, v in m.items()}
+
+
+def _vi_predictive(net, params, X_te, y_te, seed, n_samples=256):
+    """The same held-out metrics from VI posterior draws (one shared
+    metric code path with `_predictive_from_g_draws`)."""
+    y_hat = jax.jit(
+        lambda p, x, k: net.predict(p, x, k, n_samples)
+    )(params, jnp.asarray(X_te), jax.random.PRNGKey(seed + 29))
+    m = net.metrics_from_predictions(params, jnp.asarray(y_te), y_hat)
+    return {k: float(v) for k, v in m.items()}
+
+
+# ----------------------------------------------------------- nonlinear tier
+
+
+def nonlinear_tier(
+    seed=0, n_train=64, epochs=20000, n_test=100, n_nuts=1500,
+    tree_depth=9,
+):
+    """Small WHVI MLP: train VI, then 4-chain NUTS over the g posterior.
+
+    Two NUTS arms — mode-local (chains started at q draws) and
+    over-dispersed (jittered starts, which provably land in different
+    sign/permutation modes of the ReLU posterior) — and for each arm
+    the FUNCTION-SPACE comparison against VI: posterior-predictive
+    RMSE/MNLL on ``n_test`` held-out rows (round-5 VERDICT item #1).
+    """
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    X, y, X_te, y_te, source = _load_subset(seed, n_train, n_test)
 
     # bias + per-example noise + warmup: the recipe that avoids the
     # posterior-collapse local optimum (see the yacht study in
@@ -265,33 +370,19 @@ def nonlinear_tier(seed=0, n_train=64, epochs=20000):
     # and with q's moments. This is the standard practice for BNN
     # posterior comparisons.
     n_chains = 4
-    k_q = jax.random.split(jax.random.PRNGKey(seed + 11), n_chains)
     bayes_i = sorted(init.keys())
-
-    def q_draw(k):
-        ks = jax.random.split(k, len(bayes_i))
-        out = {}
-        for kk, i in zip(ks, bayes_i):
-            lp = params["layers"][i]
-            sd = jax.nn.softplus(lp["g_rho"])
-            out[i] = lp["g_mu"] + sd * jax.random.normal(
-                kk, lp["g_mu"].shape
-            )
-        return out
-
-    inits = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[q_draw(k) for k in k_q]
+    inits = _q_draw_inits(params, bayes_i, n_chains, seed)
+    nuts_cfg = NUTSConfig(
+        n_samples=n_nuts,
+        n_warmup=n_nuts,
+        max_tree_depth=tree_depth,
+        target_accept=0.95,
     )
     samples, stats = nuts_sample_chains(
         logp,
         init,
         jax.random.PRNGKey(seed + 7),
-        NUTSConfig(
-            n_samples=1500,
-            n_warmup=1500,
-            max_tree_depth=9,
-            target_accept=0.95,
-        ),
+        nuts_cfg,
         n_chains=n_chains,
         inits=inits,
     )
@@ -320,7 +411,7 @@ def nonlinear_tier(seed=0, n_train=64, epochs=20000):
             "hmc_sd_mean": float(hmc_sd.mean()),
         }
 
-    return {
+    out = {
         "source": source,
         "scope": "mode-local (chains initialized from q draws; "
         "over-dispersed starts provably land in symmetry-equivalent "
@@ -334,41 +425,61 @@ def nonlinear_tier(seed=0, n_train=64, epochs=20000):
         "per_layer": per_layer,
     }
 
+    # ---- function space (round-5 VERDICT #1): the symmetry-invariant
+    # comparison. Parameter moments of a ReLU posterior are corrupted by
+    # sign/permutation symmetry; the posterior predictive is not — so
+    # RMSE/MNLL on held-out rows, computed from NUTS draws vs VI draws
+    # through ONE metric code path, is the end-to-end validation.
+    if n_test:
+        vi_pred = _vi_predictive(net, params, X_te, y_te, seed)
+        nuts_pred = _predictive_from_g_draws(
+            net, params, X_te, y_te, samples
+        )
+        # over-dispersed arm: jittered starts land in DIFFERENT symmetry
+        # modes (param-space R-hat explodes by design — recorded, not
+        # gated); its predictive must nevertheless match the mode-local
+        # one, which is the measurable meaning of "symmetry-invariant".
+        samples_od, stats_od = nuts_sample_chains(
+            logp,
+            init,
+            jax.random.PRNGKey(seed + 17),
+            nuts_cfg,
+            n_chains=n_chains,
+            jitter=1.0,
+        )
+        nuts_od_pred = _predictive_from_g_draws(
+            net, params, X_te, y_te, samples_od
+        )
+        od_rhat = float(
+            max(jnp.max(split_rhat(samples_od[i])) for i in bayes_i)
+        )
+        out["function_space"] = {
+            "n_test": int(len(np.asarray(y_te))),
+            "vi": vi_pred,
+            "nuts_mode_local": nuts_pred,
+            "nuts_overdispersed": nuts_od_pred,
+            "overdispersed_param_rhat_max": od_rhat,
+            "overdispersed_divergences": int(
+                jnp.sum(stats_od["divergences"])
+            ),
+            "note": "param-space R-hat of the over-dispersed arm is "
+            "EXPECTED to explode (chains sit in different symmetry "
+            "modes); the predictive rows must agree anyway",
+        }
+    return out
+
 
 # --------------------------------------------------------- mixed-lambda tier
 
 
-def mixed_lambda_tier(
-    seed=0, n_train=64, epochs=8000, n_draws=800, tree_depth=6,
-    dense_mass=False,
-):
-    """Before/after demonstration of the mass-matrix adaptation on the
-    FLAGSHIP prior mix: hidden layer lambda = 3, output layer
-    lambda = 1e-5 — prior stddevs sqrt(3) vs sqrt(1e-5), a ~550x scale
-    ratio inside one posterior. The identity-mass sampler tunes its step
-    to the tight output-layer coordinates and random-walks the hidden
-    ones (round-2 VERDICT weak #3); the windowed diagonal adaptation
-    (mcmc.adapt) should restore healthy ESS/R-hat. Same mode-local
-    protocol as the nonlinear tier (chains started from q draws).
-    """
+def _train_mixed_posterior(seed=0, n_train=64, epochs=8000):
+    """Train the flagship-prior-mix net and freeze its g posterior.
+
+    Returned context is shared by the NUTS arms and the tempering arm
+    so every sampler sees the IDENTICAL posterior."""
     from whvi_tpu.train import TrainConfig, Trainer
 
-    try:
-        from whvi_tpu.data.uci import load_uci
-
-        X, y = load_uci("yacht")
-        rng = np.random.RandomState(seed)
-        idx = rng.permutation(len(X))[:n_train]
-        X = X[idx].astype(np.float32)
-        y = y[idx].astype(np.float32)[:, None]
-        X = (X - X.mean(0)) / (X.std(0) + 1e-8)
-        y = (y - y.mean(0)) / (y.std(0) + 1e-8)
-        source = "yacht"
-    except Exception:
-        rng = np.random.RandomState(seed)
-        X = rng.randn(n_train, 6).astype(np.float32)
-        y = np.sin(X.sum(1, keepdims=True)).astype(np.float32)
-        source = "synthetic"
+    X, y, _, _, source = _load_subset(seed, n_train, 0)
 
     def _lin(a, b, lam):
         return WHVILinear(
@@ -393,24 +504,43 @@ def mixed_lambda_tier(
     state = tr.init(jax.random.PRNGKey(seed))
     state, logs = tr.fit(state, X, y)
     params = state.params
-
     logp, init = make_whvi_g_log_posterior(net, params, X, y)
-    n_chains = 4
     bayes_i = sorted(init.keys())
-    k_q = jax.random.split(jax.random.PRNGKey(seed + 11), n_chains)
+    return dict(
+        net=net,
+        params=params,
+        source=source,
+        epochs=epochs,
+        n_train=n_train,
+        seed=seed,
+        logp=logp,
+        init=init,
+        bayes_i=bayes_i,
+        inits=_q_draw_inits(params, bayes_i, 4, seed),
+    )
 
-    def q_draw(k):
-        ks = jax.random.split(k, len(bayes_i))
-        out = {}
-        for kk, i in zip(ks, bayes_i):
-            lp = params["layers"][i]
-            sd = jax.nn.softplus(lp["g_rho"])
-            out[i] = lp["g_mu"] + sd * jax.random.normal(kk, lp["g_mu"].shape)
-        return out
 
-    inits = jax.tree.map(lambda *xs: jnp.stack(xs), *[q_draw(k) for k in k_q])
+def mixed_lambda_tier(
+    seed=0, n_train=64, epochs=8000, n_draws=800, tree_depth=6,
+    dense_mass=False, ctx=None,
+):
+    """Before/after demonstration of the mass-matrix adaptation on the
+    FLAGSHIP prior mix: hidden layer lambda = 3, output layer
+    lambda = 1e-5 — prior stddevs sqrt(3) vs sqrt(1e-5), a ~550x scale
+    ratio inside one posterior. The identity-mass sampler tunes its step
+    to the tight output-layer coordinates and random-walks the hidden
+    ones (round-2 VERDICT weak #3); the windowed diagonal adaptation
+    (mcmc.adapt) should restore healthy ESS/R-hat. Same mode-local
+    protocol as the nonlinear tier (chains started from q draws).
+    """
+    if ctx is None:
+        ctx = _train_mixed_posterior(seed, n_train, epochs)
+    logp, init, inits = ctx["logp"], ctx["init"], ctx["inits"]
+    bayes_i = ctx["bayes_i"]
+    params = ctx["params"]
+    n_chains = 4
 
-    out = {"source": source, "n_train": n_train,
+    out = {"source": ctx["source"], "n_train": n_train, "epochs": epochs,
            "prior_scale_ratio": float(np.sqrt(3.0 / 1e-5))}
     for name, mass in (("identity_mass", False), ("adapted_mass", True)):
         import time as _time
@@ -488,6 +618,154 @@ def mixed_lambda_tier(
     return out
 
 
+def tempering_row(
+    ctx, n_draws=1600, n_rungs=16, beta_min=0.05, n_leapfrog=16,
+):
+    """Parallel-tempering arm on a frozen g posterior (mcmc.tempering).
+
+    Round-4 proved the over-trained mixed-lambda posterior defeats any
+    linearly preconditioned NUTS (ESS ~ 2, diagonal AND dense metric,
+    ANY draw budget) and attributed it to mode structure; a K-rung
+    tempered ladder is the standard test of that diagnosis. The
+    discriminator between "frozen" and "slow but mixing" is whether ESS
+    SCALES WITH DRAWS, so the row runs the ladder at a quarter budget
+    and the full budget and reports both (NUTS stays at ESS ~ 2 at any
+    budget; CPU ladder-config scan, sweeps/r5: a DENSE ladder —
+    K = 16, every swap rate 0.6+ — is what transports, a hotter-but-
+    sparse one is not: K = 8 at beta_min 0.001-0.01 stays at ESS ~ 3).
+    Round-5 VERDICT item #3."""
+    import time as _time
+
+    from whvi_tpu.mcmc import PTConfig, pt_sample_chains
+
+    logp, init, inits = ctx["logp"], ctx["init"], ctx["inits"]
+    bayes_i = ctx["bayes_i"]
+    seed = ctx["seed"]
+
+    def _run(nd):
+        cfg = PTConfig(
+            n_samples=nd,
+            n_warmup=nd,
+            n_rungs=n_rungs,
+            beta_min=beta_min,
+            n_leapfrog=n_leapfrog,
+            target_accept=0.9,
+        )
+        t0 = _time.time()
+        s, st = pt_sample_chains(
+            logp,
+            init,
+            jax.random.PRNGKey(seed + 13),
+            cfg,
+            n_chains=4,
+            inits=inits,
+        )
+        float(jnp.sum(s[bayes_i[0]]))  # fetch = reliable sync
+        return s, st, _time.time() - t0
+
+    s_q, st_q, _ = _run(n_draws // 4)
+    ess_quarter = min(
+        float(jnp.min(ess(s_q[i]))) for i in bayes_i
+    )
+    samples, stats, wall = _run(n_draws)
+    per_layer = {}
+    for i in bayes_i:
+        gs = samples[i]
+        per_layer[f"layer{i}"] = {
+            "rhat_max": float(jnp.max(split_rhat(gs))),
+            "ess_min": float(jnp.min(ess(gs))),
+        }
+    ess_full = min(v["ess_min"] for v in per_layer.values())
+    swap = np.asarray(stats["swap_rate"])  # (chains, K-1)
+    return {
+        "sampler": f"pt-{n_rungs}rung-hmc",
+        "n_rungs": n_rungs,
+        "beta_min": beta_min,
+        "n_draws": n_draws,
+        "per_layer": per_layer,
+        "ess_min_overall": ess_full,
+        "rhat_max_overall": max(
+            v["rhat_max"] for v in per_layer.values()
+        ),
+        "ess_scaling": {
+            "draws_quarter": n_draws // 4,
+            "ess_quarter": ess_quarter,
+            "draws_full": n_draws,
+            "ess_full": ess_full,
+            "scales_with_draws": ess_full > 1.5 * ess_quarter,
+        },
+        "divergences": int(jnp.sum(stats["divergences"])),
+        "swap_rate_per_pair": [round(float(x), 3) for x in swap.mean(0)],
+        "swap_rate_min": float(swap.mean(0).min()),
+        "cold_accept_rate": float(
+            np.mean(np.asarray(stats["accept_rate"])[:, 0])
+        ),
+        "wall_s": round(wall, 2),
+        # cost accounting: a PT round spends K rungs x n_leapfrog grads
+        # for ONE cold draw per ladder
+        "cold_draws_per_s": round(4 * 2 * n_draws / max(wall, 1e-9), 1),
+        "backend": jax.default_backend(),
+    }
+
+
+def mixed_lambda_study(
+    seed=0, n_train=64, n_draws=800, tree_depth=6, dense_mass=False,
+    epochs_pass=8000, epochs_fail=12000, skip_tempering=False,
+):
+    """The SELF-DOCUMENTING mixed-lambda artifact (round-5 VERDICT #5/#6):
+    one run records BOTH the 8000-epoch row (mass adaptation passes all
+    gates) and the 12000-epoch row (the measured limitation: the
+    over-trained posterior defeats linear preconditioning), plus the
+    parallel-tempering arm on the failing posterior. The JSON no longer
+    flips meaning on an off-by-default epochs flag."""
+    out = {}
+    ctx_p = _train_mixed_posterior(seed, n_train, epochs_pass)
+    out[f"epochs_{epochs_pass}"] = mixed_lambda_tier(
+        seed, n_train, epochs_pass, n_draws, tree_depth, dense_mass,
+        ctx=ctx_p,
+    )
+    ctx_f = _train_mixed_posterior(seed, n_train, epochs_fail)
+    row_f = mixed_lambda_tier(
+        seed, n_train, epochs_fail, n_draws, tree_depth, dense_mass,
+        ctx=ctx_f,
+    )
+    if not skip_tempering:
+        ml = tempering_row(ctx_f, n_draws=2 * n_draws)
+        ml["gates"] = {
+            "pt_ess_beats_adapted_nuts": ml["ess_min_overall"]
+            > row_f["adapted_mass"]["ess_min_overall"],
+            "pt_ladder_connected": ml["swap_rate_min"] > 0.2,
+            # frozen-vs-slow discriminator: NUTS ESS is ~2 at ANY
+            # budget; a connected ladder's ESS must grow with draws
+            "pt_ess_scales_with_draws": ml["ess_scaling"][
+                "scales_with_draws"
+            ],
+        }
+        row_f["tempering"] = ml
+    out[f"epochs_{epochs_fail}"] = row_f
+    out["verdict"] = {
+        "passing_config": f"epochs={epochs_pass}",
+        "failing_config": f"epochs={epochs_fail}",
+        "pass_gates_all": all(
+            out[f"epochs_{epochs_pass}"]["gates"].values()
+        ),
+        "fail_is_limitation": not all(
+            row_f["gates"].values()
+        ),
+        "note": "the 12000-epoch posterior is the DOCUMENTED sampler "
+        "limitation (round-4 RESULTS): identity, adapted-diagonal and "
+        "dense metrics all park at ESS ~ 2 at any draw budget. The "
+        "tempering row tests the mode-structure diagnosis: a DENSE "
+        "16-rung ladder (all swap rates ~0.6) restores genuine mixing "
+        "— cold-rung ESS scales with the draw budget — but does not "
+        "fully rescue the posterior at this budget (ESS ~ 15 at 6400 "
+        "rounds vs the >100 bar); the partial result refines the "
+        "diagnosis from 'multimodal' to 'locally near-singular "
+        "geometry that tempering relaxes only gradually'",
+    }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -499,7 +777,19 @@ def main():
         choices=("analytic", "nonlinear", "mixed"),
         help="run just one tier (default: all)",
     )
-    ap.add_argument("--epochs", type=int, default=12000)
+    ap.add_argument(
+        "--epochs",
+        type=int,
+        default=12000,
+        help="nonlinear-tier training epochs; the mixed study ignores "
+        "this and records BOTH its 8000 (passing) and 12000 (failing) "
+        "configs in one artifact",
+    )
+    ap.add_argument(
+        "--skip-tempering",
+        action="store_true",
+        help="drop the parallel-tempering arm from the mixed study",
+    )
     ap.add_argument(
         "--dense-mass",
         action="store_true",
@@ -525,8 +815,9 @@ def main():
 
     if args.tier == "mixed":
         results = {
-            "mixed_lambda": mixed_lambda_tier(
-                epochs=args.epochs, dense_mass=args.dense_mass
+            "mixed_lambda": mixed_lambda_study(
+                dense_mass=args.dense_mass,
+                skip_tempering=args.skip_tempering,
             )
         }
         print(json.dumps(results, indent=2))
@@ -561,7 +852,10 @@ def main():
     if not args.skip_nonlinear and args.tier != "analytic":
         results["nonlinear"] = nonlinear_tier(epochs=args.epochs)
     if not args.skip_mixed and args.tier != "analytic":
-        results["mixed_lambda"] = mixed_lambda_tier(epochs=args.epochs)
+        results["mixed_lambda"] = mixed_lambda_study(
+            dense_mass=args.dense_mass,
+            skip_tempering=args.skip_tempering,
+        )
 
     print(json.dumps(results, indent=2))
     if args.out:

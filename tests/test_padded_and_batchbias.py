@@ -207,7 +207,9 @@ def test_epoch_runner_matches_explicit_two_batch_math():
     tr = Trainer(net, cfg)
     state0 = tr.init(jax.random.PRNGKey(0))
 
-    state_r, _ = tr._run_epochs(state0, X, Y, jnp.asarray(1.0), 1, 65)
+    state_r, _ = tr._run_epochs(
+        state0, X, Y, jnp.asarray(1.0), 1, 65, None
+    )
 
     # manual path mirrors the runner's per-epoch key split
     state0 = tr.init(jax.random.PRNGKey(0))

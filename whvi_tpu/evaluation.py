@@ -29,7 +29,12 @@ import numpy as np
 from whvi_tpu.models import WHVIRegression, mlp_layers
 from whvi_tpu.train import TrainConfig, Trainer
 
-__all__ = ["ProtocolConfig", "evaluate_bayesian_regression", "standardize"]
+__all__ = [
+    "ProtocolConfig",
+    "evaluate_bayesian_regression",
+    "evaluate_config_grid",
+    "standardize",
+]
 
 
 def standardize(X_train: np.ndarray, *rest: np.ndarray):
@@ -131,38 +136,9 @@ class ProtocolConfig:
     seed: int = 0
 
 
-def evaluate_bayesian_regression(
-    X: np.ndarray,
-    y: np.ndarray,
-    config: ProtocolConfig = ProtocolConfig(),
-    ckpt_dir: str | None = None,
-    log_fn: Callable[[dict], None] | None = None,
-    mesh=None,
-    split_mesh=None,
-) -> dict:
-    """Run the full protocol; returns mean/sd of RMSE and MNLL across
-    splits plus per-split details (reference evaluation.py:66-108).
-
-    ``mesh``: optional ``jax.sharding.Mesh`` with ``(data, sample)``
-    axes — the whole protocol then trains through the SPMD sharded
-    MC-ELBO (``train_samples`` must divide the sample axis;
-    see Trainer)."""
-    X = np.asarray(X, np.float32)
-    y = np.asarray(y, np.float32)
-    y = y if y.ndim > 1 else y[:, None]
-    n, n_in = X.shape
-    n_out = y.shape[1]
-    n_test = max(1, int(round(n * config.test_frac)))
-
-    if config.scale_reference_exact:
-        X = standardize(X)
-
-    # The model, config and Trainer are identical for every split —
-    # build them ONCE so all splits share one set of compiled programs.
-    # (Until round 3 these lived inside the split loop: a fresh Trainer
-    # per split meant a fresh jit cache, i.e. a full train-step
-    # recompile per split — ~8x the compile cost over this
-    # environment's slow remote-compile tunnel.)
+def _build_net(config: ProtocolConfig, n_in: int, n_out: int):
+    """Protocol network from a config (shared by the single-config
+    protocol and the config-stacked grid — one construction path)."""
     layers = mlp_layers(
         n_in,
         n_out,
@@ -228,9 +204,44 @@ def evaluate_bayesian_regression(
             )
         return l
 
-    net = dataclasses.replace(
+    return dataclasses.replace(
         net, layers=tuple(_with_opts(l) for l in net.layers)
     )
+
+
+def evaluate_bayesian_regression(
+    X: np.ndarray,
+    y: np.ndarray,
+    config: ProtocolConfig = ProtocolConfig(),
+    ckpt_dir: str | None = None,
+    log_fn: Callable[[dict], None] | None = None,
+    mesh=None,
+    split_mesh=None,
+) -> dict:
+    """Run the full protocol; returns mean/sd of RMSE and MNLL across
+    splits plus per-split details (reference evaluation.py:66-108).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with ``(data, sample)``
+    axes — the whole protocol then trains through the SPMD sharded
+    MC-ELBO (``train_samples`` must divide the sample axis;
+    see Trainer)."""
+    X = np.asarray(X, np.float32)
+    y = np.asarray(y, np.float32)
+    y = y if y.ndim > 1 else y[:, None]
+    n, n_in = X.shape
+    n_out = y.shape[1]
+    n_test = max(1, int(round(n * config.test_frac)))
+
+    if config.scale_reference_exact:
+        X = standardize(X)
+
+    # The model, config and Trainer are identical for every split —
+    # build them ONCE so all splits share one set of compiled programs.
+    # (Until round 3 these lived inside the split loop: a fresh Trainer
+    # per split meant a fresh jit cache, i.e. a full train-step
+    # recompile per split — ~8x the compile cost over this
+    # environment's slow remote-compile tunnel.)
+    net = _build_net(config, n_in, n_out)
     total = config.epochs1 + config.epochs2
     # mirror the epoch runner's batch rounding: with a mesh, B is rounded
     # up to the data-shard multiple, which can REDUCE the batch count —
@@ -733,3 +744,267 @@ def _run_vmapped_protocol(
     out["vmapped_splits"] = True
     out["protocol_wall_s"] = wall
     return out
+
+
+# --------------------------------------------------------- config-stacked grid
+
+# Override keys a config grid may sweep: all shape-preserving scalars.
+# Anything else (hidden widths, heteroscedastic, bias, epochs, ...)
+# changes the compiled program or the parameter pytree and belongs in a
+# separate grid.
+_GRID_KEYS = frozenset(
+    {
+        "sigma0",
+        "lambda_hidden",
+        "lambda_last",
+        "lambda_noise",
+        "kl_warmup_frac",
+        "noise_freeze_frac",
+        "seed",
+    }
+)
+
+
+def evaluate_config_grid(
+    X: np.ndarray,
+    y: np.ndarray,
+    base: ProtocolConfig,
+    overrides: list,
+    ckpt_dir: str | None = None,
+    log_fn: Callable[[dict], None] | None = None,
+    split_mesh=None,
+) -> dict:
+    """Run a WHOLE hyperparameter grid as ONE stacked protocol fit.
+
+    Round-4 ran its hetero recipe matrix and calibration rows as ~15
+    sequential full-protocol invocations while the vmapped protocol
+    idled 98% of the chip (round-5 VERDICT item #2) — but every scalar
+    config knob is shape-preserving, so the stacked replica axis
+    extends from ``n_splits`` to ``n_configs * n_splits``: per-config
+    lambdas enter the loss as traced scalars (WHVINetwork.kl lambda
+    overrides), per-config warmup/freeze schedules as traced step
+    thresholds (Trainer hyper), per-config sigma0/seed at init. The
+    sweep IS the workload; one compile, one launch, every matmul K*C
+    wide.
+
+    ``overrides``: one dict per config, keys from {sigma0,
+    lambda_hidden, lambda_last, lambda_noise, kl_warmup_frac,
+    noise_freeze_frac, seed} — values replace ``base``'s. Per-config
+    results are numerically equal to individual
+    ``evaluate_bayesian_regression`` runs of the same config (same
+    per-replica PRNG keys; tested in tests/test_config_grid.py).
+
+    Returns ``{"configs": [per-config aggregate dicts],
+    "protocol_wall_s": stack wall, "stack_size": C*K}``. Structural
+    options (calibrate, normalize_y, mesh) are not supported in the
+    grid — run those as single configs.
+    """
+    import jax.numpy as jnp
+
+    from whvi_tpu.train import TrainConfig, Trainer
+
+    for o in overrides:
+        bad = set(o) - _GRID_KEYS
+        if bad:
+            raise ValueError(
+                f"config grid can only sweep shape-preserving scalars "
+                f"{sorted(_GRID_KEYS)}; got {sorted(bad)}"
+            )
+    if base.calibrate or base.normalize_y:
+        raise ValueError(
+            "calibrate/normalize_y are per-split post-processing paths "
+            "not supported in the stacked grid; run them as single "
+            "configs"
+        )
+    if base.heteroscedastic and any("sigma0" in o for o in overrides):
+        raise ValueError(
+            "per-config sigma0 is init+static for the heteroscedastic "
+            "likelihood (its split() shift); sweep it homoscedastic or "
+            "as separate runs"
+        )
+
+    cfgs = [dataclasses.replace(base, **o) for o in overrides]
+    C, K = len(cfgs), base.n_splits
+    R = C * K
+
+    X = np.asarray(X, np.float32)
+    y = np.asarray(y, np.float32)
+    y = y if y.ndim > 1 else y[:, None]
+    n, n_in = X.shape
+    n_out = y.shape[1]
+    n_test = max(1, int(round(n * base.test_frac)))
+    if base.scale_reference_exact:
+        X = standardize(X)
+
+    net = _build_net(base, n_in, n_out)
+    total = base.epochs1 + base.epochs2
+    n_tr = n - n_test
+    B = min(base.batch_size, n_tr)
+    steps_per_epoch = -(-n_tr // B)
+    tcfg = TrainConfig(
+        batch_size=base.batch_size,
+        epochs1=base.epochs1,
+        epochs2=base.epochs2,
+        epochs_per_call=base.epochs_per_call,
+        checkpoint_every=base.checkpoint_every,
+        ignore_kl=base.ignore_kl,
+        # warmup/freeze ride the hyper stack below; statics stay 0
+    )
+    trainer = Trainer(
+        net, tcfg, vmap_splits=True, split_mesh=split_mesh
+    )
+
+    # splits are built ONCE from base.seed and shared by every config —
+    # a sweep wants identical splits, differing hypers (a per-config
+    # `seed` override varies the INIT keys, not the data split)
+    rng = np.random.RandomState(base.seed)
+    Xs_tr, ys_tr, Xs_te, ys_te = [], [], [], []
+    for _ in range(K):
+        perm = rng.permutation(n)
+        te, tr = perm[:n_test], perm[n_test:]
+        X_tr, X_te = X[tr], X[te]
+        if not base.scale_reference_exact:
+            X_tr, X_te = standardize(X_tr, X_te)
+        Xs_tr.append(X_tr)
+        ys_tr.append(y[tr])
+        Xs_te.append(X_te)
+        ys_te.append(y[te])
+    # replica r = c * K + s
+    Xs_tr = np.tile(np.stack(Xs_tr), (C, 1, 1))
+    ys_tr = np.tile(np.stack(ys_tr), (C, 1, 1))
+    Xs_te_s = np.stack(Xs_te)
+    ys_te_s = np.stack(ys_te)
+    Xs_te = np.tile(Xs_te_s, (C, 1, 1))
+    ys_te = np.tile(ys_te_s, (C, 1, 1))
+
+    # per-replica hyper stack
+    def rep(vals):  # (C,) config scalars -> (R,) replica array
+        return np.repeat(np.asarray(vals, np.float32), K)
+
+    hyper = {
+        # int() like the single-config path so a grid row equals the
+        # standalone run bit-for-bit
+        "kl_warmup_steps": rep(
+            [
+                int(total * steps_per_epoch * c.kl_warmup_frac)
+                for c in cfgs
+            ]
+        )
+    }
+    if base.heteroscedastic:
+        hyper["noise_freeze_steps"] = rep(
+            [
+                int(total * steps_per_epoch * c.noise_freeze_frac)
+                for c in cfgs
+            ]
+        )
+    # per-layer lambda overrides as traced scalars: hidden WHVI layers
+    # take lambda_hidden, the head takes lambda_last (and lambda_noise
+    # on the split-head noise branch)
+    lam_tree = []
+    last = len(net.layers) - 1
+    for i, l in enumerate(net.layers):
+        if hasattr(l, "branches"):
+            lam_tree.append(
+                (
+                    jnp.asarray(rep([c.lambda_last for c in cfgs])),
+                    jnp.asarray(rep([c.lambda_noise for c in cfgs])),
+                )
+            )
+        elif hasattr(l, "matrix"):
+            key = "lambda_last" if i == last else "lambda_hidden"
+            lam_tree.append(
+                jnp.asarray(rep([getattr(c, key) for c in cfgs]))
+            )
+        else:
+            lam_tree.append(None)
+    hyper["lambdas"] = tuple(lam_tree)
+
+    # init keys: replica (c, s) uses PRNGKey(seed_c * 1000 + s) — the
+    # exact key an individual run of config c would give split s
+    init_keys = jnp.stack(
+        [
+            jax.random.PRNGKey(c.seed * 1000 + s)
+            for c in cfgs
+            for s in range(K)
+        ]
+    )
+    eval_keys = jnp.stack(
+        [jax.random.PRNGKey(s) for _ in cfgs for s in range(K)]
+    )
+    state = trainer.init(init_keys)
+    if any("sigma0" in o for o in overrides):
+        # homoscedastic sigma0 is pure init: overwrite each replica's
+        # likelihood rho with its config's value (Adam state is zeros
+        # at init, so this equals having initialized there)
+        from whvi_tpu.models.likelihoods import _inv_softplus
+
+        rho = jnp.asarray(
+            rep([_inv_softplus(c.sigma0) for c in cfgs])
+        )
+        params = dict(
+            state.params,
+            likelihood=dict(state.params["likelihood"], rho=rho),
+        )
+        state = state._replace(params=params)
+
+    if ckpt_dir:
+        import hashlib
+
+        h = hashlib.sha256(
+            repr(
+                [sorted(dataclasses.asdict(c).items()) for c in cfgs]
+            ).encode()
+        ).hexdigest()[:10]
+        ckpt_dir = os.path.join(ckpt_dir, f"grid-{h}")
+
+    t0 = time.time()
+    state, logs = trainer.fit(
+        state, Xs_tr, ys_tr, ckpt_dir=ckpt_dir, log_fn=log_fn,
+        hyper=hyper,
+    )
+    wall = time.time() - t0
+    metrics = trainer.evaluate(state.params, Xs_te, ys_te, eval_keys)
+    if base.heteroscedastic and "rmse" not in metrics:
+        vmapped_predict = jax.jit(
+            jax.vmap(
+                lambda p, x, k: net.predict(p, x, k, base.eval_samples)
+            )
+        )
+        y_hat = vmapped_predict(state.params, jnp.asarray(Xs_te), eval_keys)
+        mean, _ = net.likelihood.split(y_hat)
+        pred = np.asarray(jnp.mean(mean, axis=1))
+        metrics["rmse"] = np.sqrt(
+            np.mean((pred - ys_te) ** 2, axis=(1, 2))
+        )
+
+    out_configs = []
+    for c_i, (cfg, o) in enumerate(zip(cfgs, overrides)):
+        results = []
+        for s in range(K):
+            r = c_i * K + s
+            entry = {
+                "split": s,
+                "rmse": float(metrics["rmse"][r]),
+                "mnll": float(metrics["mnll"][r]),
+                "mnll_per_point": float(metrics["mnll_per_point"][r]),
+                # whole-stack amortized share (see _run_vmapped_protocol)
+                "wall_s_amortized": wall / R,
+                "epochs_per_s_amortized": total / max(wall / R, 1e-9),
+            }
+            for k in ("pred_mnll_per_point", "coverage95"):
+                if k in metrics:
+                    entry[k] = float(metrics[k][r])
+            results.append(entry)
+            if log_fn:
+                log_fn(dict(entry, config=c_i))
+        agg = _aggregate(results)
+        agg["config_overrides"] = dict(o)
+        out_configs.append(agg)
+    return {
+        "configs": out_configs,
+        "protocol_wall_s": wall,
+        "stack_size": R,
+        "n_configs": C,
+        "vmapped_splits": True,
+    }

@@ -8,11 +8,15 @@ from whvi_tpu.mcmc.hmc import (
     moments,
 )
 from whvi_tpu.mcmc.nuts import NUTSConfig, nuts_sample, nuts_sample_chains
+from whvi_tpu.mcmc.tempering import PTConfig, pt_sample, pt_sample_chains
 
 __all__ = [
     "HMCConfig",
     "NUTSConfig",
+    "PTConfig",
     "StructuredLogProb",
+    "pt_sample",
+    "pt_sample_chains",
     "ess",
     "hmc_sample",
     "hmc_sample_chains",

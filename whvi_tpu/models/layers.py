@@ -113,8 +113,11 @@ class WHVILinear:
             params = dict(params, bias=jnp.zeros((self.n_out,), dtype))
         return params
 
-    def kl(self, params: dict) -> jax.Array:
-        return self.matrix.kl(params)
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        """``lambda_``: optional (traceable) prior-variance override —
+        the config-stacked protocol sweeps lambda per replica without
+        rebuilding the (static) layer description."""
+        return self.matrix.kl(params, lambda_)
 
     def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
         y = self.matrix.apply(
@@ -163,7 +166,8 @@ class Dense:
             params["b"] = jnp.zeros((self.n_out,), dtype)
         return params
 
-    def kl(self, params: dict) -> jax.Array:
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        del lambda_
         return jnp.zeros((), params["w"].dtype)
 
     def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
@@ -198,9 +202,17 @@ class Parallel:
             )
         }
 
-    def kl(self, params: dict) -> jax.Array:
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        """``lambda_``: None, or a tuple of per-branch overrides (each
+        None or a traceable scalar) — e.g. ``(None, lambda_noise)``
+        sweeps the split-head noise prior per stacked replica."""
+        if lambda_ is None:
+            lambda_ = (None,) * len(self.branches)
         return sum(
-            b.kl(p) for b, p in zip(self.branches, params["branches"])
+            b.kl(p, l)
+            for b, p, l in zip(
+                self.branches, params["branches"], lambda_
+            )
         )
 
     def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
@@ -225,8 +237,8 @@ class Activation:
         del key, dtype
         return {}
 
-    def kl(self, params: dict) -> jax.Array:
-        del params
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        del params, lambda_
         return jnp.zeros(())
 
     def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:

@@ -57,10 +57,19 @@ class WHVINetwork:
             "likelihood": self.likelihood.init(dtype),
         }
 
-    def kl(self, params: dict) -> jax.Array:
-        """Sum of per-layer KL terms (reference networks.py:32-34)."""
+    def kl(self, params: dict, lambdas=None) -> jax.Array:
+        """Sum of per-layer KL terms (reference networks.py:32-34).
+
+        ``lambdas``: optional per-layer prior-variance overrides — a
+        tuple aligned with ``layers``, entries None (keep the layer's
+        static lambda) or a traceable scalar (or per-branch tuple for
+        Parallel heads). The config-stacked protocol sweeps priors per
+        vmapped replica through this without rebuilding the model."""
+        if lambdas is None:
+            lambdas = (None,) * len(self.layers)
         return sum(
-            layer.kl(p) for layer, p in zip(self.layers, params["layers"])
+            layer.kl(p, lam)
+            for layer, p, lam in zip(self.layers, params["layers"], lambdas)
         )
 
     def apply(self, params: dict, x: jax.Array, key: jax.Array) -> jax.Array:
@@ -94,6 +103,7 @@ class WHVINetwork:
         ignore_kl: bool = False,
         kl_scale: jax.Array | float = 1.0,
         weights: jax.Array | None = None,
+        lambdas=None,
     ) -> tuple[jax.Array, dict]:
         """Negative ELBO = MNLL + kl_scale * KL (reference networks.py:56-69).
 
@@ -115,7 +125,7 @@ class WHVINetwork:
         mnll = self.likelihood.mnll(
             params["likelihood"], y, y_hat, n, weights=weights
         )
-        kl = self.kl(params)
+        kl = self.kl(params, lambdas)
         loss = mnll if ignore_kl else mnll + kl_scale * kl
         return loss, {"mnll": mnll, "kl": kl}
 

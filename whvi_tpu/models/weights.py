@@ -119,12 +119,16 @@ class SquarePow2Matrix:
             ),
         }
 
-    def kl(self, params: dict) -> jax.Array:
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        # ``lambda_``: optional prior-variance override — may be a
+        # TRACED scalar (the config-stacked protocol rides per-replica
+        # lambdas down this path; None keeps the static layer value)
+        lam = self.lambda_ if lambda_ is None else lambda_
         return kl_diag_normal(
             params["g_mu"],
             _g_sigma(params["g_rho"]),
             0.0,
-            jnp.sqrt(jnp.asarray(self.lambda_, params["g_mu"].dtype)),
+            jnp.sqrt(jnp.asarray(lam, params["g_mu"].dtype)),
         )
 
     def sample_g(self, params: dict, key: jax.Array) -> jax.Array:
@@ -208,12 +212,16 @@ class StackedMatrix:
             jax.random.split(key, stack)
         )
 
-    def kl(self, params: dict) -> jax.Array:
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        # ``lambda_``: optional prior-variance override — may be a
+        # TRACED scalar (the config-stacked protocol rides per-replica
+        # lambdas down this path; None keeps the static layer value)
+        lam = self.lambda_ if lambda_ is None else lambda_
         return kl_diag_normal(
             params["g_mu"],
             _g_sigma(params["g_rho"]),
             0.0,
-            jnp.sqrt(jnp.asarray(self.lambda_, params["g_mu"].dtype)),
+            jnp.sqrt(jnp.asarray(lam, params["g_mu"].dtype)),
         )
 
     def sample_g(self, params: dict, key: jax.Array) -> jax.Array:
@@ -319,8 +327,8 @@ class ColumnMatrix:
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         return self._block.init(key, dtype)
 
-    def kl(self, params: dict) -> jax.Array:
-        return self._block.kl(params)
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        return self._block.kl(params, lambda_)
 
     def column_given_g(self, params: dict, g: jax.Array) -> jax.Array:
         """Column from an explicit ``g`` (MCMC path / LRT building
@@ -426,8 +434,8 @@ class PaddedSquareMatrix:
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:
         return self._block.init(key, dtype)
 
-    def kl(self, params: dict) -> jax.Array:
-        return self._block.kl(params)
+    def kl(self, params: dict, lambda_=None) -> jax.Array:
+        return self._block.kl(params, lambda_)
 
     def sample_g(self, params: dict, key: jax.Array) -> jax.Array:
         return self._block.sample_g(params, key)

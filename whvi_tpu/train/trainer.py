@@ -177,7 +177,10 @@ class Trainer:
             )
         else:
 
-            def _loss_fn(params, key, x, y, n, kl_scale=1.0, weights=None):
+            def _loss_fn(
+                params, key, x, y, n, kl_scale=1.0, weights=None,
+                lambdas=None,
+            ):
                 return net.loss(
                     params,
                     key,
@@ -187,6 +190,7 @@ class Trainer:
                     ignore_kl=config.ignore_kl,
                     kl_scale=kl_scale,
                     weights=weights,
+                    lambdas=lambdas,
                 )
 
             self._loss_fn = _loss_fn
@@ -254,32 +258,64 @@ class Trainer:
         n: jax.Array | int,
         train_likelihood: jax.Array | float,
         weights: jax.Array | None = None,
+        hyper: dict | None = None,
     ) -> tuple[TrainState, dict]:
         """One ELBO step (reference per-batch body, networks.py:77-82).
 
         ``weights (B,)`` marks padding rows with 0 so the MNLL estimator
         of a wrap-padded batch equals the unpadded batch's (the reference
         simply has a smaller last batch; static shapes require padding).
+
+        ``hyper``: optional TRACED per-run hyperparameters overriding
+        the static config — the config-stacked protocol vmaps a whole
+        grid of configs through one compiled step by riding these on
+        the replica axis. Recognized keys: ``kl_warmup_steps`` (float),
+        ``noise_freeze_steps`` (float; needs a validated split head),
+        ``lambdas`` (per-layer prior-variance pytree, see
+        WHVINetwork.kl).
         """
+        hyper = hyper or {}
         key, sub = jax.random.split(state.key)
-        if self.config.kl_warmup_steps > 0:
+        if "kl_warmup_steps" in hyper:
+            w = jnp.asarray(hyper["kl_warmup_steps"], jnp.float32)
+            kl_scale = jnp.where(
+                w > 0,
+                jnp.minimum(
+                    1.0,
+                    state.step.astype(jnp.float32) / jnp.maximum(w, 1.0),
+                ),
+                1.0,
+            )
+        elif self.config.kl_warmup_steps > 0:
             kl_scale = jnp.minimum(
                 1.0,
                 state.step.astype(jnp.float32) / self.config.kl_warmup_steps,
             )
         else:
             kl_scale = 1.0
+        loss_kwargs = dict(kl_scale=kl_scale, weights=weights)
+        if hyper.get("lambdas") is not None:
+            loss_kwargs["lambdas"] = hyper["lambdas"]
         (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state.params,
             sub,
             x,
             y,
             n,
-            kl_scale=kl_scale,
-            weights=weights,
+            **loss_kwargs,
         )
         grads = mask_likelihood_grads(grads, train_likelihood)
-        if self._noise_freeze_steps:
+        if "noise_freeze_steps" in hyper:
+            grads = mask_noise_branch_grads(
+                grads,
+                (
+                    state.step.astype(jnp.float32)
+                    >= jnp.asarray(
+                        hyper["noise_freeze_steps"], jnp.float32
+                    )
+                ).astype(jnp.float32),
+            )
+        elif self._noise_freeze_steps:
             grads = mask_noise_branch_grads(
                 grads,
                 (state.step >= self._noise_freeze_steps).astype(jnp.float32),
@@ -299,7 +335,7 @@ class Trainer:
         cfg = self.config
 
         def run_epochs_core(
-            state, X, Y, train_likelihood, n_epochs, n_train
+            state, X, Y, train_likelihood, n_epochs, n_train, hyper
         ):
             B = min(cfg.batch_size, n_train)
             if self.mesh is not None:
@@ -331,7 +367,13 @@ class Trainer:
                 def batch_body(state, xyw):
                     x, y, w = xyw
                     return self.train_step(
-                        state, x, y, n_train, train_likelihood, weights=w
+                        state,
+                        x,
+                        y,
+                        n_train,
+                        train_likelihood,
+                        weights=w,
+                        hyper=hyper,
                     )
 
                 state, metrics = jax.lax.scan(batch_body, state, (xb, yb, wb))
@@ -350,13 +392,16 @@ class Trainer:
             # matmul carries the K axis (fills the MXU that a
             # sequential split loop leaves idle).
             def run_epochs(
-                state, X, Y, train_likelihood, n_epochs, n_train
+                state, X, Y, train_likelihood, n_epochs, n_train, hyper
             ):
+                # hyper rides the replica axis too (None/empty pytrees
+                # have no leaves, so the default single-config protocol
+                # maps nothing extra)
                 return jax.vmap(
-                    lambda s, x, y: run_epochs_core(
-                        s, x, y, train_likelihood, n_epochs, n_train
+                    lambda s, x, y, h: run_epochs_core(
+                        s, x, y, train_likelihood, n_epochs, n_train, h
                     )
-                )(state, X, Y)
+                )(state, X, Y, hyper)
 
         else:
             run_epochs = run_epochs_core
@@ -369,10 +414,10 @@ class Trainer:
                 run_epochs,
                 static_argnames=("n_epochs", "n_train"),
                 donate_argnums=(0,),
-                # replica axis 0 of every state/data leaf sharded over
-                # the split mesh; independent replicas => XLA partitions
-                # the batched program with no collectives at all
-                in_shardings=(rep, rep, rep, None),
+                # replica axis 0 of every state/data/hyper leaf sharded
+                # over the split mesh; independent replicas => XLA
+                # partitions the batched program with no collectives
+                in_shardings=(rep, rep, rep, None, rep),
                 out_shardings=(rep, rep),
             )
         return jax.jit(
@@ -390,6 +435,7 @@ class Trainer:
         ckpt_dir: str | None = None,
         log_fn: Callable[[dict], None] | None = None,
         resume: bool = True,
+        hyper: dict | None = None,
     ) -> tuple[TrainState, list[dict]]:
         """Run the full two-phase protocol.
 
@@ -400,9 +446,23 @@ class Trainer:
 
         With ``vmap_splits``, ``X (K, n, d)`` / ``y (K, n[, out])`` and
         ``state`` carry the leading replica axis; the logged metrics are
-        replica means and checkpoints hold the whole stack.
+        replica means and checkpoints hold the whole stack. ``hyper``:
+        optional traced per-run hyperparameter overrides (see
+        ``train_step``); with ``vmap_splits`` every hyper leaf carries
+        the replica axis too — the config-stacked protocol.
         """
         cfg = self.config
+        if hyper:
+            if self.mesh is not None:
+                raise ValueError(
+                    "hyper overrides ride the vmapped replica axis; "
+                    "they are not supported with the SPMD mesh loss"
+                )
+            if "noise_freeze_steps" in hyper:
+                from whvi_tpu.train.optim import validate_split_head
+
+                validate_split_head(self.net)
+            hyper = jax.tree.map(jnp.asarray, hyper)
         data_ndim = 3 if self.vmap_splits else 2
         y = y if y.ndim >= data_ndim else y[..., None]
         n_train = int(X.shape[1] if self.vmap_splits else X.shape[0])
@@ -440,6 +500,7 @@ class Trainer:
                 jnp.asarray(0.0 if in_phase1 else 1.0),
                 chunk,
                 n_train,
+                hyper,
             )
             epoch += chunk
             # ONE host fetch for all metrics: each separate float() is a
