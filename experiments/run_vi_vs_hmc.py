@@ -89,7 +89,17 @@ from whvi_tpu.ops.hadamard import build_H, kl_diag_normal
 
 
 def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
-    """Exact Gaussian posterior vs NUTS vs trained mean-field VI."""
+    """Exact Gaussian posterior vs NUTS vs trained mean-field VI.
+
+    Every matmul here runs at ``Precision.HIGHEST`` (true fp32 on the
+    MXU): this tier is an exactness ORACLE, and the TPU's default
+    bf16-operand einsum corrupts exactly the thing it checks — measured
+    round 5: the default-precision log density left NUTS at R-hat 22 /
+    ESS 2 on the v5e while the identical tier passed on CPU; at HIGHEST
+    all gates pass on both backends (same repo convention as the f64
+    CPU oracles: correctness paths pin their precision).
+    """
+    HI = jax.lax.Precision.HIGHEST
     key = jax.random.PRNGKey(seed)
     k1, k2, k3, k4, k5 = jax.random.split(key, 5)
     layer = SquarePow2Matrix(D, lambda_=lam, s_init="auto")
@@ -100,16 +110,20 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
     H = build_H(D)
 
     def design(x):  # M(x): y = M(x) g
-        return s1[:, None] * H * (H @ (s2 * x))[None, :]
+        return s1[:, None] * H * jnp.matmul(
+            H, s2 * x, precision=HI
+        )[None, :]
 
     M = jax.vmap(design)(X)  # (n, D, D)
-    y = jnp.einsum("nij,j->ni", M, g_true)
+    y = jnp.einsum("nij,j->ni", M, g_true, precision=HI)
     y = y + sigma * jax.random.normal(k4, y.shape)
 
     # exact Gaussian posterior over g
-    Lam = jnp.eye(D) / lam + jnp.einsum("nij,nik->jk", M, M) / sigma**2
+    Lam = jnp.eye(D) / lam + jnp.einsum(
+        "nij,nik->jk", M, M, precision=HI
+    ) / sigma**2
     Sigma = jnp.linalg.inv(Lam)
-    mu = Sigma @ (jnp.einsum("nij,ni->j", M, y) / sigma**2)
+    mu = Sigma @ (jnp.einsum("nij,ni->j", M, y, precision=HI) / sigma**2)
     exact_sd = jnp.sqrt(jnp.diag(Sigma))
     # the mean-field optimum against a Gaussian: same mean, variances =
     # inverse precision DIAGONAL (Bishop 10.1.2)
@@ -118,7 +132,7 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
     # --- NUTS on the exact target
     def logp(q):
         g = q["g"]
-        r = y - jnp.einsum("nij,j->ni", M, g)
+        r = y - jnp.einsum("nij,j->ni", M, g, precision=HI)
         return (
             -0.5 * jnp.sum(jnp.square(r)) / sigma**2
             - 0.5 * jnp.sum(jnp.square(g)) / lam
@@ -140,7 +154,7 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
         g_sigma = jax.nn.softplus(qp["g_rho"])
         eps = jax.random.normal(key, (8, D))
         g = qp["g_mu"][None] + g_sigma[None] * eps  # (S, D)
-        r = y[None] - jnp.einsum("nij,sj->sni", M, g)
+        r = y[None] - jnp.einsum("nij,sj->sni", M, g, precision=HI)
         ll = -0.5 * jnp.sum(jnp.square(r), axis=(1, 2)) / sigma**2 - (
             y.size * 0.5 * jnp.log(2 * jnp.pi * sigma**2)
         )
