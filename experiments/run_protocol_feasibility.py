@@ -54,8 +54,43 @@ def main():
         "as ONE fit via evaluate_config_grid — the round-5 protocol-"
         "utilization lever (replica axis n_splits -> N * n_splits)",
     )
+    ap.add_argument(
+        "--epochs-per-call",
+        type=int,
+        default=2500,
+        help="scan-chunk size (epochs per device dispatch). Large "
+        "replica stacks at kin8nm scale need SHORTER chunks on the "
+        "remote backend: a single dispatch running longer than ~2-3 "
+        "minutes crashes the axon TPU worker (round-5 measurement: "
+        "16x8192 at 2500-epoch chunks reproducibly dies, at 500 it "
+        "runs; the same program at tiny epochs compiles and runs fine)",
+    )
+    ap.add_argument(
+        "--prng",
+        choices=["threefry", "rbg"],
+        default="threefry",
+        help="PRNG implementation. 'rbg' uses the TPU hardware RNG: "
+        "1.85x protocol throughput with per-example LRT noise (the "
+        "threefry VPU cost dominates the step — round-5 measurement, "
+        "warm MFU 4.5%% -> 8.3%% at kin8nm scale). Streams differ from "
+        "threefry (results change within statistical noise); default "
+        "stays threefry for bit-reproducibility of earlier rows",
+    )
+    ap.add_argument(
+        "--rect-mode",
+        choices=["stack", "pad"],
+        default="stack",
+        help="non-square layer construction. 'pad' turns the 8->128 "
+        "first layer's sixteen D=8 blocks (8-wide ops on 128-lane "
+        "hardware) into one D=128 padded block: 1.3-2.6x throughput, "
+        "warm MFU 1.8%% -> 4.8%% (round-5 measurement)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
+    if args.prng == "rbg":
+        import jax as _jax
+
+        _jax.config.update("jax_default_prng_impl", "rbg")
 
     import jax
 
@@ -82,6 +117,7 @@ def main():
         n_splits=args.splits,
         epochs1=args.epochs1,
         epochs2=args.epochs2,
+        epochs_per_call=args.epochs_per_call,
         seed=args.seed,
         # tuned recipe (docs/RESULTS.md): bias + per-example noise +
         # 8 train samples + sigma0 0.1 — the quality configuration, so
@@ -90,12 +126,16 @@ def main():
         per_example_noise=True,
         train_samples=8,
         sigma0=0.1,
+        rect_mode=args.rect_mode,
     )
 
     # analytic flops: protocol model on this shape (for MFU; batches
     # are wrap-padded to full 64-row batches like the Trainer does)
     net = WHVIRegression(
-        mlp_layers(args.features, 1, hidden=cfg.hidden, bias=True),
+        mlp_layers(
+            args.features, 1, hidden=cfg.hidden, bias=True,
+            rect_mode=cfg.rect_mode,
+        ),
         train_samples=cfg.train_samples,
     )
     n_train = args.n - max(1, int(round(args.n * cfg.test_frac)))
@@ -133,6 +173,8 @@ def main():
                 "epochs": total_epochs,
                 "splits": args.splits,
                 "configs": args.configs or None,
+                "prng": args.prng,
+                "rect_mode": args.rect_mode,
                 "stack_replicas": n_replicas,
                 "rmse_mean": out["rmse_mean"],
                 "pred_mnll_mean": out.get("pred_mnll_per_point_mean"),

@@ -151,8 +151,21 @@ def main():
         "default single vmapped fit over all splits (same results; "
         "vmapped is ~KX faster — round-4 protocol accelerator)",
     )
+    ap.add_argument(
+        "--prng",
+        choices=["threefry", "rbg"],
+        default="threefry",
+        help="PRNG implementation; 'rbg' = TPU hardware RNG, 1.85x "
+        "throughput with per-example noise (threefry's VPU cost "
+        "dominates the step; round-5). Different random streams than "
+        "threefry — results shift within split-to-split noise",
+    )
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args()
+    if args.prng == "rbg":
+        import jax as _jax
+
+        _jax.config.update("jax_default_prng_impl", "rbg")
 
     if args.list or not args.dataset:
         for name in sorted(UCI_DATASETS):

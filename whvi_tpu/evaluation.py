@@ -841,11 +841,23 @@ def evaluate_config_grid(
     n_tr = n - n_test
     B = min(base.batch_size, n_tr)
     steps_per_epoch = -(-n_tr // B)
+    # Dispatch-duration guard: the remote (axon) backend kills a single
+    # device execution that runs longer than ~2-3 minutes — measured
+    # round 5: a 16-replica x n=8192 chunk of 2500 epochs reproducibly
+    # crashes the TPU worker while 500-epoch chunks run clean (and the
+    # identical program at tiny epochs compiles and executes fine).
+    # Scale the chunk so one dispatch does at most the work of the
+    # measured-safe 8 x 7373 x 2500 configuration.
+    safe_work = 8 * 7373 * 2500
+    epc = max(
+        100,
+        min(base.epochs_per_call, safe_work // max(R * n_tr, 1)),
+    )
     tcfg = TrainConfig(
         batch_size=base.batch_size,
         epochs1=base.epochs1,
         epochs2=base.epochs2,
-        epochs_per_call=base.epochs_per_call,
+        epochs_per_call=epc,
         checkpoint_every=base.checkpoint_every,
         ignore_kl=base.ignore_kl,
         # warmup/freeze ride the hyper stack below; statics stay 0
