@@ -45,16 +45,19 @@ def _write_plot(rows, crossover, path, backend):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    Ds = [r["D"] for r in rows]
     series = [
         ("matmul_us", f"dense H matmul ({backend})", "#888888", "--"),
-        ("butterfly_us", "FWHT butterfly", "#4477aa", "-"),
-        ("kron_us", "FWHT Kronecker/MXU", "#cc6677", "-"),
+        ("butterfly_us", "FWHT butterfly", "#2a78d6", "-"),
+        ("kron_us", "FWHT Kronecker/MXU", "#eb6834", "-"),
     ]
     fig, ax = plt.subplots(figsize=(6, 4))
     for key, label, color, ls in series:
-        ax.plot(Ds, [r[key] for r in rows], label=label, color=color,
-                linestyle=ls, marker="o", markersize=3.5)
+        # difference timing on remote backends can read <= 0 at tiny D
+        # (latency noise exceeds the compute delta); a log axis cannot
+        # show those — mask them instead of plunging to the clip edge
+        pts = [(r["D"], r[key]) for r in rows if r[key] > 0]
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], label=label,
+                color=color, linestyle=ls, marker="o", markersize=3.5)
     if crossover is not None:
         ax.axvline(crossover, color="#999999", linewidth=0.8, zorder=0)
         ax.annotate(f"crossover D={crossover}", (crossover, ax.get_ylim()[1]),
