@@ -54,6 +54,13 @@ def main():
     )
     ap.add_argument("--normalize-y", action="store_true")
     ap.add_argument(
+        "--lambda-hidden",
+        type=float,
+        default=3.0,
+        help="prior variance of the hidden WHVI layers (protocol 3.0; "
+        "the round-5 yacht grid found 1.0 marginally better)",
+    )
+    ap.add_argument(
         "--lambda-last",
         type=float,
         default=1e-5,
@@ -192,6 +199,7 @@ def main():
         seed=args.seed,
         s_init=args.s_init if args.s_init == "auto" else float(args.s_init),
         kl_warmup_frac=args.kl_warmup_frac,
+        lambda_hidden=args.lambda_hidden,
         lambda_last=args.lambda_last,
         lambda_noise=args.lambda_noise,
         noise_freeze_frac=args.noise_freeze_frac,
