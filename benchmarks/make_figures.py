@@ -233,11 +233,74 @@ def fig_reliability(quick=False):
     print(json.dumps({"figure": out, "temperature_mean": tau}))
 
 
+def fig_sampler_rescue(quick=False):
+    """ESS on the over-trained mixed-lambda posterior, per sampler —
+    read from the committed docs/vi_vs_hmc.json (no recompute; pass
+    the study's --out elsewhere to re-measure)."""
+    del quick
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with open(
+        os.path.join(os.path.dirname(FIGDIR), "vi_vs_hmc.json")
+    ) as f:
+        study = json.load(f)
+    row = study["mixed_lambda"]["epochs_12000"]
+    pt = row["tempering"]
+    sc = pt["ess_scaling"]
+    rows = [
+        ("NUTS, identity mass", row["identity_mass"]["ess_min_overall"]),
+        ("NUTS, adapted diagonal", row["adapted_mass"]["ess_min_overall"]),
+        (
+            f"PT 16-rung, {sc['draws_quarter']} rounds",
+            sc["ess_quarter"],
+        ),
+        (f"PT 16-rung, {sc['draws_full']} rounds", sc["ess_full"]),
+    ]
+    fig, ax = plt.subplots(figsize=(6.4, 3.2))
+    ys = range(len(rows))
+    for y, (label, ess) in zip(ys, rows):
+        color = BLUE if label.startswith("PT") else ORANGE
+        ax.plot([0.8, ess], [y, y], color=color, linewidth=1.2,
+                alpha=0.5, zorder=1)
+        ax.plot([ess], [y], "o", color=color, markersize=8, zorder=2)
+        ax.annotate(
+            f"{ess:.0f}" if ess >= 10 else f"{ess:.1f}",
+            (ess, y), xytext=(8, -3), textcoords="offset points",
+            fontsize=9, color=INK,
+        )
+    ax.axvline(100, color=MUTED, linewidth=0.8, linestyle="--", zorder=0)
+    ax.annotate("healthy (ESS 100)", (100, -0.45),
+                xytext=(5, 0), textcoords="offset points", fontsize=8,
+                color=MUTED, annotation_clip=False)
+    ax.set_yticks(list(ys))
+    ax.set_yticklabels([r[0] for r in rows], fontsize=9)
+    ax.set_xscale("log")
+    ax.set_xlim(0.8, 2000)
+    ax.set_xlabel(
+        "min effective sample size (log scale)", fontsize=9, color=INK
+    )
+    ax.set_title(
+        "Over-trained mixed-λ posterior: tempering un-freezes the "
+        "sampler",
+        fontsize=10, color=INK,
+    )
+    _style(ax)
+    ax.grid(axis="y", visible=False)
+    fig.tight_layout()
+    out = os.path.join(FIGDIR, "sampler_rescue.png")
+    fig.savefig(out, dpi=160)
+    print(json.dumps({"figure": out}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
-        "--only", choices=["toy_fan", "crossover", "reliability"],
+        "--only",
+        choices=["toy_fan", "crossover", "reliability", "sampler_rescue"],
         default=None,
     )
     args = ap.parse_args()
@@ -248,6 +311,8 @@ def main():
         fig_crossover(args.quick)
     if args.only in (None, "reliability"):
         fig_reliability(args.quick)
+    if args.only in (None, "sampler_rescue"):
+        fig_sampler_rescue(args.quick)
 
 
 if __name__ == "__main__":
