@@ -258,11 +258,26 @@ def evaluate_bayesian_regression(
         d = mesh.shape["data"]
         B = -(-B // d) * d
     steps_per_epoch = -(-n_tr // B)
+    # Dispatch-duration guard (same as evaluate_config_grid): the
+    # remote backend kills single executions running ~2-3+ minutes —
+    # the plain vmapped path hits it too (measured: 16 splits x
+    # n=8192 x 2500-epoch chunks crashes the worker; 500 runs clean).
+    use_vmap_guard = (
+        config.vmap_splits
+        if isinstance(config.vmap_splits, bool)
+        else mesh is None
+    )
+    epc = config.epochs_per_call
+    if use_vmap_guard:
+        epc = max(
+            100,
+            min(epc, (8 * 7373 * 2500) // max(config.n_splits * n_tr, 1)),
+        )
     tcfg = TrainConfig(
         batch_size=config.batch_size,
         epochs1=config.epochs1,
         epochs2=config.epochs2,
-        epochs_per_call=config.epochs_per_call,
+        epochs_per_call=epc,
         checkpoint_every=config.checkpoint_every,
         ignore_kl=config.ignore_kl,
         kl_warmup_steps=int(
