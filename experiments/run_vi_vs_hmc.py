@@ -122,8 +122,12 @@ def analytic_tier(D=16, n=48, sigma=0.1, lam=1.0, seed=0, n_vi_steps=4000):
     Lam = jnp.eye(D) / lam + jnp.einsum(
         "nij,nik->jk", M, M, precision=HI
     ) / sigma**2
-    Sigma = jnp.linalg.inv(Lam)
-    mu = Sigma @ (jnp.einsum("nij,ni->j", M, y, precision=HI) / sigma**2)
+    Sigma = jnp.linalg.inv(Lam)  # 16x16 LU (f32 kernel, not MXU-rounded)
+    mu = jnp.matmul(
+        Sigma,
+        jnp.einsum("nij,ni->j", M, y, precision=HI) / sigma**2,
+        precision=HI,
+    )
     exact_sd = jnp.sqrt(jnp.diag(Sigma))
     # the mean-field optimum against a Gaussian: same mean, variances =
     # inverse precision DIAGONAL (Bishop 10.1.2)

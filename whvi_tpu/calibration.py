@@ -94,6 +94,10 @@ def fit_temperature_from_z(
     fallback) or "nll" (closed-form Gaussian-ML)."""
     from scipy.stats import norm
 
+    if mode not in ("quantile", "nll"):
+        raise ValueError(
+            f"mode must be 'quantile' or 'nll', got {mode!r}"
+        )
     z = np.asarray(z, np.float64).reshape(-1)
     if mode == "quantile":
         n_min = int(np.ceil(1.0 / max(1.0 - level, 1e-9)))

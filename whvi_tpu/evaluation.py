@@ -37,6 +37,15 @@ __all__ = [
 ]
 
 
+# Measured-safe per-dispatch work for the remote (axon) backend: a
+# single device execution running ~2-3+ minutes crashes the TPU worker
+# (round-5 measurement: replicas x train-rows x chunk-epochs of
+# 16 x 8192 x 2500 reproducibly dies; 8 x 7373 x 2500 and
+# 16 x 8192 x 500 run clean). Both protocol entry points cap their
+# scan chunk against this budget.
+_SAFE_DISPATCH_WORK = 8 * 7373 * 2500
+
+
 def standardize(X_train: np.ndarray, *rest: np.ndarray):
     """Fit mean/std on ``X_train``, apply to all (reference uses
     sklearn.StandardScaler on the full X, evaluation.py:64 — fitting on
@@ -258,20 +267,24 @@ def evaluate_bayesian_regression(
         d = mesh.shape["data"]
         B = -(-B // d) * d
     steps_per_epoch = -(-n_tr // B)
-    # Dispatch-duration guard (same as evaluate_config_grid): the
-    # remote backend kills single executions running ~2-3+ minutes —
-    # the plain vmapped path hits it too (measured: 16 splits x
-    # n=8192 x 2500-epoch chunks crashes the worker; 500 runs clean).
-    use_vmap_guard = (
+    use_vmap = (
         config.vmap_splits
         if isinstance(config.vmap_splits, bool)
         else mesh is None
     )
+    # Dispatch-duration guard (shared budget _SAFE_DISPATCH_WORK): only
+    # ever SHRINKS the configured chunk — an explicit smaller
+    # epochs_per_call must stay smaller (round-5 review: a max() floor
+    # on the user's value could re-create the long dispatch the guard
+    # exists to prevent).
     epc = config.epochs_per_call
-    if use_vmap_guard:
-        epc = max(
-            100,
-            min(epc, (8 * 7373 * 2500) // max(config.n_splits * n_tr, 1)),
+    if use_vmap:
+        epc = min(
+            epc,
+            max(
+                100,
+                _SAFE_DISPATCH_WORK // max(config.n_splits * n_tr, 1),
+            ),
         )
     tcfg = TrainConfig(
         batch_size=config.batch_size,
@@ -326,11 +339,6 @@ def evaluate_bayesian_regression(
         ).hexdigest()[:10]
         ckpt_dir = os.path.join(ckpt_dir, f"cfg-{cfg_hash}")
 
-    use_vmap = (
-        config.vmap_splits
-        if isinstance(config.vmap_splits, bool)
-        else mesh is None
-    )
     if split_mesh is not None and not use_vmap:
         # loud like Trainer: a silently-dropped split_mesh would run
         # the protocol sequentially on one device (round-4 review #6)
@@ -503,12 +511,21 @@ def evaluate_bayesian_regression(
             cal_inputs.append(
                 (d["y_cal_fit"], m_c, s_c, y_te_fit, m_t, s_t)
             )
+            if not config.calib_pooled:
+                # per-split tau needs no cross-split data: compute it
+                # NOW so streamed log entries keep their temperature
+                # fields (round-5 review — only pooling defers)
+                tau, cov_cal, _ = _calibrate_splits(
+                    cal_inputs[-1:], config
+                )[0]
+                entry["temperature"] = tau
+                entry["coverage95_cal"] = cov_cal
         results.append(entry)
         if log_fn:
-            # note: with calibrate + calib_pooled the temperature fields
-            # are attached AFTER the split loop (pooling needs every
-            # split's calib z-scores), so they are absent from streamed
-            # per-split log entries; the returned `splits` have them.
+            # with calib_pooled the temperature fields are attached
+            # AFTER the split loop (pooling needs every split's calib
+            # z-scores), so they are absent from streamed entries; the
+            # returned `splits` have them.
             log_fn(entry)
 
     cal = None
@@ -856,17 +873,12 @@ def evaluate_config_grid(
     n_tr = n - n_test
     B = min(base.batch_size, n_tr)
     steps_per_epoch = -(-n_tr // B)
-    # Dispatch-duration guard: the remote (axon) backend kills a single
-    # device execution that runs longer than ~2-3 minutes — measured
-    # round 5: a 16-replica x n=8192 chunk of 2500 epochs reproducibly
-    # crashes the TPU worker while 500-epoch chunks run clean (and the
-    # identical program at tiny epochs compiles and executes fine).
-    # Scale the chunk so one dispatch does at most the work of the
-    # measured-safe 8 x 7373 x 2500 configuration.
-    safe_work = 8 * 7373 * 2500
-    epc = max(
-        100,
-        min(base.epochs_per_call, safe_work // max(R * n_tr, 1)),
+    # Dispatch-duration guard (shared budget _SAFE_DISPATCH_WORK; see
+    # its definition for the measurements). Only ever shrinks the
+    # configured chunk.
+    epc = min(
+        base.epochs_per_call,
+        max(100, _SAFE_DISPATCH_WORK // max(R * n_tr, 1)),
     )
     tcfg = TrainConfig(
         batch_size=base.batch_size,

@@ -208,6 +208,11 @@ class Parallel:
         sweeps the split-head noise prior per stacked replica."""
         if lambda_ is None:
             lambda_ = (None,) * len(self.branches)
+        if len(lambda_) != len(self.branches):
+            raise ValueError(
+                f"lambda_ must have one entry per branch "
+                f"({len(self.branches)}), got {len(lambda_)}"
+            )
         return sum(
             b.kl(p, l)
             for b, p, l in zip(

@@ -67,6 +67,13 @@ class WHVINetwork:
         vmapped replica through this without rebuilding the model."""
         if lambdas is None:
             lambdas = (None,) * len(self.layers)
+        if len(lambdas) != len(self.layers):
+            # zip would silently TRUNCATE — dropping trailing layers'
+            # KL from the ELBO with no error (round-5 review)
+            raise ValueError(
+                f"lambdas must have one entry per layer "
+                f"({len(self.layers)}), got {len(lambdas)}"
+            )
         return sum(
             layer.kl(p, lam)
             for layer, p, lam in zip(self.layers, params["layers"], lambdas)
