@@ -287,3 +287,34 @@ def test_checkpoint_every_zero_with_ckpt_dir(tmp_path):
         f for f in os.listdir(tmp_path) if f.startswith("ckpt-")
     )
     assert files == ["ckpt-4.npz", "ckpt-4.npz.meta.json"]
+
+
+def test_trainer_runs_with_rbg_keys():
+    # the round-5 --prng rbg lever (TPU hardware RNG): the whole
+    # trainer pipeline — init, scanned epochs, per-example LRT noise,
+    # eval — must work with typed rbg keys (no global config flip,
+    # which would leak into other tests)
+    import dataclasses
+
+    X, y = _toy_data()
+    net = _small_net()
+    net = dataclasses.replace(
+        net,
+        layers=tuple(
+            dataclasses.replace(l, per_example_noise=True)
+            if hasattr(l, "per_example_noise")
+            else l
+            for l in net.layers
+        ),
+    )
+    trainer = Trainer(net, TrainConfig(epochs1=1, epochs2=3))
+    # typed keys carry their impl (raw PRNGKey(impl=...) arrays would
+    # be re-interpreted under the global default impl downstream)
+    key = jax.random.key(0, impl="rbg")
+    state = trainer.init(key)
+    state, logs = trainer.fit(state, X, y)
+    assert np.isfinite(logs[-1]["loss"])
+    m = trainer.evaluate(
+        state.params, X, y, jax.random.key(1, impl="rbg")
+    )
+    assert np.isfinite(m["rmse"])
