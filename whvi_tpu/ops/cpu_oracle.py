@@ -25,7 +25,7 @@ _lock = threading.Lock()
 _lib = None
 
 
-def _build() -> None:
+def _build(out_path: str) -> None:
     cmd = [
         "g++",
         "-O3",
@@ -33,7 +33,7 @@ def _build() -> None:
         "-fPIC",
         _SRC,
         "-o",
-        _LIB_PATH,
+        out_path,
     ]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -43,11 +43,30 @@ def _load():
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH) or os.path.getmtime(
-            _LIB_PATH
+        lib_path = _LIB_PATH
+        if not os.path.exists(lib_path) or os.path.getmtime(
+            lib_path
         ) < os.path.getmtime(_SRC):
-            _build()
-        lib = ctypes.CDLL(_LIB_PATH)
+            try:
+                _build(lib_path)
+            except (subprocess.CalledProcessError, OSError, PermissionError):
+                # installed site-packages may be read-only (wheel
+                # install): fall back to a per-user cache dir
+                import hashlib
+                import tempfile
+
+                tag = hashlib.sha256(
+                    open(_SRC, "rb").read()
+                ).hexdigest()[:12]
+                cache = os.path.join(
+                    tempfile.gettempdir(),
+                    f"whvi_tpu_oracle_{os.getuid()}",
+                )
+                os.makedirs(cache, exist_ok=True)
+                lib_path = os.path.join(cache, f"libfwht_{tag}.so")
+                if not os.path.exists(lib_path):
+                    _build(lib_path)
+        lib = ctypes.CDLL(lib_path)
         lib.fwht_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
