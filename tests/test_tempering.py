@@ -100,3 +100,25 @@ def test_pt_chains_driver_and_diagnostics():
     assert stats["swap_rate"].shape == (2, 3)
     rhat = float(jnp.max(split_rhat(samples["x"])))
     assert rhat < 1.05
+
+
+def test_chains_jittered_inits_with_rbg_keys():
+    # jittered_inits used to hard-code the threefry raw-key width
+    # (reshape(..., 2)), breaking jittered chain starts under any other
+    # PRNG impl (typed rbg keys here; raw rbg keys are (4,))
+    from whvi_tpu.mcmc import NUTSConfig, nuts_sample_chains
+
+    def logp(q):
+        return jnp.sum(-0.5 * jnp.square(q["x"]))
+
+    cfg = NUTSConfig(n_samples=30, n_warmup=30, max_tree_depth=3)
+    s, _ = nuts_sample_chains(
+        logp,
+        {"x": jnp.zeros(2)},
+        jax.random.key(0, impl="rbg"),
+        cfg,
+        n_chains=2,
+        jitter=0.5,
+    )
+    assert s["x"].shape == (2, 30, 2)
+    assert bool(jnp.isfinite(s["x"]).all())

@@ -83,9 +83,11 @@ def jittered_inits(
     leading ``(n_chains,)`` axis, bit-identical for the vmapped and
     mesh-sharded paths."""
     leaves, treedef = jax.tree.flatten(init_position)
-    init_keys = jax.random.split(key, n_chains * len(leaves)).reshape(
-        n_chains, len(leaves), 2
-    )
+    ks = jax.random.split(key, n_chains * len(leaves))
+    # reshape via the key array's own trailing shape: raw threefry keys
+    # are (N, 2), raw rbg keys (N, 4), typed keys (N,) — hard-coding 2
+    # broke jittered starts under any non-threefry impl (round 5)
+    init_keys = ks.reshape((n_chains, len(leaves)) + ks.shape[1:])
 
     def _jittered(c):
         return jax.tree.unflatten(
