@@ -45,6 +45,8 @@ def _write_plot(rows, crossover, path, backend):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # palette slots 1/2 — keep in sync with benchmarks/make_figures.py
+    # BLUE/ORANGE so the four report figures read as one system
     series = [
         ("matmul_us", f"dense H matmul ({backend})", "#888888", "--"),
         ("butterfly_us", "FWHT butterfly", "#2a78d6", "-"),

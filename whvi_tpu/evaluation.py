@@ -46,6 +46,27 @@ __all__ = [
 _SAFE_DISPATCH_WORK = 8 * 7373 * 2500
 
 
+def _dispatch_chunk_bound(work_per_epoch: int) -> int:
+    """Largest scan-chunk length keeping one dispatch inside the
+    measured-safe budget. The floor is 10, NOT a round 100: a flat
+    100-epoch floor could itself authorize ~2x the budget at very
+    large replica-row counts — exactly the regime that kills the
+    worker (round-5 review). If even 10-epoch chunks exceed the
+    budget, warn: the run may hit the backend's dispatch wall.
+    """
+    bound = _SAFE_DISPATCH_WORK // max(work_per_epoch, 1)
+    if bound < 10:
+        import warnings
+
+        warnings.warn(
+            f"replica-rows per epoch ({work_per_epoch}) are so large "
+            "that even 10-epoch dispatch chunks exceed the measured-"
+            "safe budget; the remote backend may kill long dispatches",
+            stacklevel=3,
+        )
+    return max(10, bound)
+
+
 def standardize(X_train: np.ndarray, *rest: np.ndarray):
     """Fit mean/std on ``X_train``, apply to all (reference uses
     sklearn.StandardScaler on the full X, evaluation.py:64 — fitting on
@@ -280,11 +301,7 @@ def evaluate_bayesian_regression(
     epc = config.epochs_per_call
     if use_vmap:
         epc = min(
-            epc,
-            max(
-                100,
-                _SAFE_DISPATCH_WORK // max(config.n_splits * n_tr, 1),
-            ),
+            epc, _dispatch_chunk_bound(config.n_splits * n_tr)
         )
     tcfg = TrainConfig(
         batch_size=config.batch_size,
@@ -420,6 +437,7 @@ def evaluate_bayesian_regression(
 
     results = []
     cal_inputs: list = []
+    cal_rows: list = []
     for split in range(config.n_splits):
         d = splits[split]
         X_tr, X_te = d["X_tr"], d["X_te"]
@@ -515,9 +533,10 @@ def evaluate_bayesian_regression(
                 # per-split tau needs no cross-split data: compute it
                 # NOW so streamed log entries keep their temperature
                 # fields (round-5 review — only pooling defers)
-                tau, cov_cal, _ = _calibrate_splits(
-                    cal_inputs[-1:], config
-                )[0]
+                cal_rows.append(
+                    _calibrate_splits(cal_inputs[-1:], config)[0]
+                )
+                tau, cov_cal, _ = cal_rows[-1]
                 entry["temperature"] = tau
                 entry["coverage95_cal"] = cov_cal
         results.append(entry)
@@ -530,10 +549,13 @@ def evaluate_bayesian_regression(
 
     cal = None
     if config.calibrate:
-        cal = _calibrate_splits(cal_inputs, config)
-        for entry, (tau, cov_cal, _) in zip(results, cal):
-            entry["temperature"] = tau
-            entry["coverage95_cal"] = cov_cal
+        if config.calib_pooled:
+            cal = _calibrate_splits(cal_inputs, config)
+            for entry, (tau, cov_cal, _) in zip(results, cal):
+                entry["temperature"] = tau
+                entry["coverage95_cal"] = cov_cal
+        else:
+            cal = cal_rows  # already computed (and logged) in-loop
     out = _aggregate(results)
     if cal is not None:
         _attach_reliability(
@@ -876,10 +898,7 @@ def evaluate_config_grid(
     # Dispatch-duration guard (shared budget _SAFE_DISPATCH_WORK; see
     # its definition for the measurements). Only ever shrinks the
     # configured chunk.
-    epc = min(
-        base.epochs_per_call,
-        max(100, _SAFE_DISPATCH_WORK // max(R * n_tr, 1)),
-    )
+    epc = min(base.epochs_per_call, _dispatch_chunk_bound(R * n_tr))
     tcfg = TrainConfig(
         batch_size=base.batch_size,
         epochs1=base.epochs1,

@@ -51,21 +51,17 @@ def _load():
                 _build(lib_path)
             except (subprocess.CalledProcessError, OSError, PermissionError):
                 # installed site-packages may be read-only (wheel
-                # install): fall back to a per-user cache dir
-                import hashlib
+                # install): build into a fresh private per-process dir.
+                # mkdtemp (0700, unpredictable name) rather than a
+                # shared cache path: a predictable world-visible cache
+                # could be pre-planted by another local user, and a
+                # shared file is a cross-process build race — a ~1 s
+                # rebuild per process is the safe trade (review round 5)
                 import tempfile
 
-                tag = hashlib.sha256(
-                    open(_SRC, "rb").read()
-                ).hexdigest()[:12]
-                cache = os.path.join(
-                    tempfile.gettempdir(),
-                    f"whvi_tpu_oracle_{os.getuid()}",
-                )
-                os.makedirs(cache, exist_ok=True)
-                lib_path = os.path.join(cache, f"libfwht_{tag}.so")
-                if not os.path.exists(lib_path):
-                    _build(lib_path)
+                cache = tempfile.mkdtemp(prefix="whvi_tpu_oracle_")
+                lib_path = os.path.join(cache, "libfwht_oracle.so")
+                _build(lib_path)
         lib = ctypes.CDLL(lib_path)
         lib.fwht_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float),
